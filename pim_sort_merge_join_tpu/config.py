@@ -1,0 +1,91 @@
+"""Runtime engine configuration.
+
+Replaces the reference's compile-time `#define` configuration
+(`sort-merge-join/user.h:1-13`, `common.h:1-11`) with a runtime dataclass:
+predicates, join keys, dtype, mesh shape, partition capacities and algorithm
+selection are all per-query values rather than rebuild-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal, Sequence
+
+import jax.numpy as jnp
+
+# Comparison ops supported by selection predicates. The reference implements
+# exactly one predicate form -- strictly-greater-than on one column
+# (select.c:31, cpu_app.c:88) -- which is the default here; the rest round out
+# a usable engine surface.
+PredicateOp = Literal[">", ">=", "<", "<=", "==", "!="]
+
+
+@dataclasses.dataclass(frozen=True)
+class Predicate:
+    """A single-column comparison predicate, `col <op> value`."""
+
+    col: int = 0
+    op: PredicateOp = ">"
+    value: int = 5000
+
+    def describe(self) -> str:
+        return f"col{self.col + 1} {self.op} {self.value}"
+
+
+JoinMode = Literal["one_to_one", "inner"]
+JoinAlgorithm = Literal["sort_merge", "hash"]
+SortAlgorithm = Literal["xla", "pallas_bitonic"]
+PartitionScheme = Literal["range", "hash"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """All runtime tunables of the engine.
+
+    Defaults reproduce the reference configuration: int64 elements
+    (common.h:1), selection and join keys on column 0 with threshold 5000
+    (user.h:6-13), and 1:1 join-equality semantics (join.c:160-173).
+    """
+
+    # --- semantics (the reference contract) ---
+    predicate1: Predicate = Predicate()
+    predicate2: Predicate = Predicate()
+    join_key1: int = 0
+    join_key2: int = 0
+    join_mode: JoinMode = "one_to_one"
+
+    # --- dtype: reference supports uint64/int64/double via `T` (common.h:1-9)
+    dtype: str = "int64"
+
+    # --- algorithm selection ---
+    join_algorithm: JoinAlgorithm = "sort_merge"
+    sort_algorithm: SortAlgorithm = "xla"
+    partition_scheme: PartitionScheme = "range"
+
+    # --- parallelism / capacity layout ---
+    # Mesh axis name for the partition axis (the DPU-set analog, user.h:3).
+    mesh_axis: str = "p"
+    # Per-shard bucket capacity for the all_to_all exchange, in rows, as a
+    # multiple of the even per-shard share. 2.0 tolerates 2x skew before the
+    # skew-aware splitter refinement has to kick in.
+    exchange_slack: float = 2.0
+    # Rows sampled per shard for range splitter selection.
+    splitter_sample: int = 1024
+    # When a key exceeds this fraction of sampled rows it is treated as a
+    # heavy hitter and gets a dedicated partition (skew-aware repartitioning).
+    heavy_hitter_fraction: float = 0.5
+
+    # --- join output capacity, as a multiple of the probe-side capacity.
+    join_slack: float = 1.0
+
+    # --- observability ---
+    collect_metrics: bool = True
+    checkpoint_dir: str | None = None
+
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def reference_config() -> EngineConfig:
+    """The exact configuration of the reference benchmark run."""
+    return EngineConfig()

@@ -1,0 +1,126 @@
+"""The staged query pipeline: ingest -> filter -> sort -> join -> materialize.
+
+TPU-native re-design of the reference host orchestration (`app.c` main,
+775 lines): where the reference runs four separately-launched DPU programs
+with host gathers/re-scatters between stages (select -> per-DPU sort ->
+pairwise merge-tree reduction -> co-partitioned join; call stack in SURVEY.md
+section 3.1), this pipeline traces the whole filter+sort+join dataflow into a
+single jitted XLA program per capacity signature -- the stage boundaries that
+were host round-trips become fusion points.
+
+Single-chip path here; the sharded multi-chip path lives in
+`engine/distributed.py` and swaps the sort stage for
+partition-exchange-then-local-sort.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import numpy as np
+
+from pim_sort_merge_join_tpu.columnar import csv_io
+from pim_sort_merge_join_tpu.columnar.table import Table
+from pim_sort_merge_join_tpu.config import EngineConfig
+from pim_sort_merge_join_tpu.engine.metrics import MetricsCollector
+from pim_sort_merge_join_tpu.ops import filter as filter_ops
+from pim_sort_merge_join_tpu.ops import join as join_ops
+from pim_sort_merge_join_tpu.ops import sort as sort_ops
+
+
+_TRANSFER_WARM = False
+
+
+def warmup_transfer() -> None:
+    """Force one tiny device->host readback to absorb lazy transfer-path init.
+
+    Some PJRT transports (e.g. tunneled devices) pay a large one-time cost on
+    the first device-to-host transfer of the process; doing it here keeps it
+    out of stage timings.
+    """
+    global _TRANSFER_WARM
+    if _TRANSFER_WARM:
+        return
+    import jax.numpy as jnp
+
+    int(jax.jit(lambda: jnp.zeros((), jnp.int32))())
+    _TRANSFER_WARM = True
+
+
+def pipeline_core(t1: Table, t2: Table, config: EngineConfig) -> Table:
+    """The traced filter -> sort -> join dataflow on two device tables."""
+    f1 = filter_ops.apply_filter(t1, config.predicate1)
+    f2 = filter_ops.apply_filter(t2, config.predicate2)
+    s1 = sort_ops.sort_by_key(f1, config.join_key1, algorithm=config.sort_algorithm)
+    s2 = sort_ops.sort_by_key(f2, config.join_key2, algorithm=config.sort_algorithm)
+    if config.join_algorithm == "hash":
+        from pim_sort_merge_join_tpu.ops.hash_join import hash_join
+
+        # Hash join does not need the sorted runs, but reuses the filtered
+        # tables; key order of the output is preserved for parity.
+        return hash_join(f1, f2, config.join_key1, config.join_key2, mode=config.join_mode)
+    out_cap = None
+    if config.join_mode == "inner":
+        out_cap = int(t1.capacity * config.join_slack)
+    return join_ops.merge_join(
+        s1, s2, config.join_key1, config.join_key2,
+        mode=config.join_mode, out_capacity=out_cap,
+    )
+
+
+class QueryPipeline:
+    """Host-facing driver: CSV paths in, result table / CSV out.
+
+    Jit-compiles `pipeline_core` once per (capacity, ncol, dtype) signature;
+    repeated queries at the same shape reuse the executable (the reference
+    re-allocates DPUs and reloads ELFs every stage, app.c:307,402,503,761).
+    """
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        self.metrics = MetricsCollector(enabled=self.config.collect_metrics)
+        self._jitted = jax.jit(
+            functools.partial(pipeline_core, config=self.config)
+        )
+        warmup_transfer()
+
+    # -- device path -------------------------------------------------------
+    def run_tables(self, t1: Table, t2: Table) -> Table:
+        with self.metrics.stage("execute") as m:
+            result = self._jitted(t1, t2)
+            result = jax.block_until_ready(result)
+            m.rows_out = int(result.num_rows)
+        return result
+
+    # -- end-to-end CSV path ----------------------------------------------
+    def run_csv(
+        self,
+        path1: str,
+        path2: str,
+        output_path: str | None = None,
+        *,
+        capacity: int | None = None,
+    ) -> Table:
+        dtype = self.config.jnp_dtype()
+        with self.metrics.stage("ingest") as m:
+            rows1 = csv_io.load_csv_numpy(path1, dtype=dtype)
+            rows2 = csv_io.load_csv_numpy(path2, dtype=dtype)
+            m.rows_in = rows1.shape[0] + rows2.shape[0]
+        with self.metrics.stage("host_to_device") as m:
+            t1 = Table.from_numpy(rows1, capacity=capacity, dtype=dtype)
+            t2 = Table.from_numpy(rows2, capacity=capacity, dtype=dtype)
+            jax.block_until_ready((t1, t2))
+            m.bytes_moved = rows1.nbytes + rows2.nbytes
+        result = self.run_tables(t1, t2)
+        if output_path is not None:
+            with self.metrics.stage("materialize") as m:
+                out = result.to_numpy()
+                csv_io.write_csv(output_path, out, names=result.names)
+                m.rows_out = out.shape[0]
+                m.bytes_moved = out.nbytes
+        return result
+
+    def metrics_json(self) -> str:
+        return self.metrics.to_json()

@@ -1,0 +1,49 @@
+"""Sort operator: order a table ascending by its join-key column.
+
+TPU-native re-design of the reference sort stage: the DPU kernel runs an
+O(rows^2) per-tasklet insertion sort directly on MRAM rows followed by a
+log2(16)-round tasklet merge tree (sort_dpu.c:157-187, :251-323), and the host
+then merges per-DPU runs pairwise in a log-depth DPU tree (app.c:408-547).
+Here a single device sorts its whole partition in one O(n log n) vectorized
+pass -- `jax.lax.sort` lowers to the XLA TPU sort (bitonic network over
+lanes), or the in-repo Pallas bitonic kernel (`ops/pallas/sort_kernel.py`)
+for the hand-tuned path. Cross-device merging is replaced entirely by the
+range-exchange in `exchange/` (no merge tree: one all_to_all round).
+
+Padding rows carry a +inf key sentinel so they sort to the tail and stay
+invalid.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pim_sort_merge_join_tpu.columnar.table import Table
+
+
+def sort_by_key(table: Table, key: int, *, algorithm: str = "xla") -> Table:
+    """Sort valid rows ascending by column ``key``; stable on ties."""
+    keys = table.masked_keys(key)
+    if algorithm == "pallas_bitonic":
+        from pim_sort_merge_join_tpu.ops.pallas.sort_kernel import sort_pairs_pallas
+
+        sorted_keys, order = sort_pairs_pallas(
+            keys, jnp.arange(table.capacity, dtype=jnp.int32)
+        )
+        del sorted_keys
+    elif algorithm == "xla":
+        # Stable argsort: XLA sorts (keys, iota) as a lexicographic pair.
+        order = jnp.argsort(keys, stable=True)
+    else:
+        raise ValueError(f"unknown sort algorithm {algorithm!r}")
+    data = jnp.take(table.data, order, axis=0)
+    return table.replace(data=data)
+
+
+def sorted_keys(table: Table, key: int) -> jax.Array:
+    """Key column of an already-sorted table, with +inf padding tail.
+
+    Suitable for `searchsorted` without re-masking.
+    """
+    return table.masked_keys(key)
