@@ -1,0 +1,88 @@
+"""Headline benchmark: the reference workload on one TPU chip.
+
+Runs the reference's own benchmark pipeline -- data1.csv |><| data2.csv
+(100k rows/table: filter col1>5000, sort by col1, 1:1 merge join; the
+workload timed in BASELINE.md) -- on device, and reports steady-state
+device execution time against the reference's published total
+(37,897.143 ms, NR_DPUS=64 / NR_TASKLETS=16 / CACHE_SIZE=256 on the UPMEM
+functional simulator; BASELINE.md table 1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+vs_baseline is the speedup factor (reference_ms / ours_ms; higher is better).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_TOTAL_MS = 37897.143  # BASELINE.md: 100k rows, CPU->DPU + DPU + DPU->CPU
+DATA_DIR = "/root/reference/sort-merge-join/data"
+
+
+def _load_inputs():
+    from pim_sort_merge_join_tpu.columnar import csv_io
+
+    p1 = os.path.join(DATA_DIR, "data1.csv")
+    p2 = os.path.join(DATA_DIR, "data2.csv")
+    if os.path.exists(p1) and os.path.exists(p2):
+        return csv_io.load_csv_numpy(p1), csv_io.load_csv_numpy(p2)
+    # Fallback: regenerate the same distribution (generate_data.py semantics).
+    from pim_sort_merge_join_tpu.columnar.generate import generate_table
+
+    return (
+        generate_table(100_000, seed=1),
+        generate_table(100_000, seed=2),
+    )
+
+
+def main():
+    import jax
+
+    import pim_sort_merge_join_tpu as smj
+    from pim_sort_merge_join_tpu.columnar.table import Table
+
+    rows1, rows2 = _load_inputs()
+    pipe = smj.QueryPipeline(smj.EngineConfig())  # absorbs transfer warmup
+
+    dtype = pipe.config.jnp_dtype()
+    t1 = Table.from_numpy(rows1, dtype=dtype)
+    t2 = Table.from_numpy(rows2, dtype=dtype)
+    jax.block_until_ready((t1, t2))
+
+    # Compile + first run.
+    result = pipe.run_tables(t1, t2)
+    expect_rows = int(result.num_rows)
+
+    reps = 10
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = pipe.run_tables(t1, t2)
+        times.append((time.perf_counter() - t0) * 1000.0)
+        assert int(out.num_rows) == expect_rows
+    value = float(np.median(times))
+
+    print(
+        json.dumps(
+            {
+                "metric": "sort_merge_join_pipeline_100k_rows",
+                "value": round(value, 3),
+                "unit": "ms",
+                "vs_baseline": round(REF_TOTAL_MS / value, 1),
+            }
+        )
+    )
+    print(
+        f"# device={jax.devices()[0]} joined_rows={expect_rows} "
+        f"reps={reps} min={min(times):.1f}ms max={max(times):.1f}ms "
+        f"reference_total={REF_TOTAL_MS}ms",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""Multi-chip distributed pipeline over a `jax.sharding.Mesh`.
+
+The TPU-native replacement for the reference's whole multi-DPU orchestration
+(SURVEY.md section 3.1): host row-block scatter (app.c:179-218) becomes a
+sharded device array; the per-DPU select/sort kernels become per-shard
+vectorized ops inside `shard_map`; the host-driven pairwise merge tree
+(app.c:408-547) and the stage-4 binary-search co-partitioning (app.c:585-633)
+are together replaced by ONE splitter-based range exchange (`exchange/`),
+after which every shard sorts and joins its own co-partitioned key range
+locally. The whole thing -- filter, sample, exchange, sort, join -- is a
+single jitted SPMD program; no host round-trips between stages.
+
+Output global order: partitions are ascending key ranges, each shard's join
+output follows its local key order, so concatenating shard outputs in shard
+order reproduces the single-chip (and reference) row order exactly for
+unique keys. With duplicate join keys the order among equal-key table-1 rows
+is (source shard, source position) rather than global insertion order --
+deterministic, but it can differ from the single-chip order; SURVEY.md
+section 7 ("Multi-host determinism") tracks this as the documented tie-order
+caveat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pim_sort_merge_join_tpu.columnar.table import Table, key_sentinel
+from pim_sort_merge_join_tpu.config import EngineConfig
+from pim_sort_merge_join_tpu.engine.metrics import MetricsCollector
+from pim_sort_merge_join_tpu.exchange.partition import (
+    choose_splitters,
+    destination_of,
+    sample_keys,
+)
+from pim_sort_merge_join_tpu.exchange.shuffle import all_to_all_exchange
+from pim_sort_merge_join_tpu.ops import filter as filter_ops
+from pim_sort_merge_join_tpu.ops import join as join_ops
+from pim_sort_merge_join_tpu.ops import sort as sort_ops
+
+
+@struct.dataclass
+class ShardedTable:
+    """A table partitioned row-wise across a mesh axis.
+
+    ``data`` is ``[P * shard_capacity, ncol]`` sharded ``P(axis, None)``;
+    ``counts`` is ``[P]`` sharded ``P(axis)`` -- valid-row count per shard.
+    """
+
+    data: jax.Array
+    counts: jax.Array
+    names: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def ncol(self) -> int:
+        return self.data.shape[1]
+
+    def total_rows(self) -> jax.Array:
+        return jnp.sum(self.counts)
+
+    @classmethod
+    def from_numpy(
+        cls,
+        array: np.ndarray,
+        mesh: Mesh,
+        axis: str,
+        *,
+        shard_capacity: int | None = None,
+        names: Sequence[str] | None = None,
+        dtype=jnp.int64,
+    ) -> "ShardedTable":
+        """Scatter host rows into P contiguous row blocks (the analog of the
+        reference's stage-1 row-block partitioning, app.c:179-218)."""
+        nrow, ncol = array.shape
+        p = mesh.shape[axis]
+        if shard_capacity is None:
+            shard_capacity = -(-nrow // p) if nrow else 1
+        if names is None:
+            names = tuple(f"col{i + 1}" for i in range(ncol))
+        buf = np.zeros((p * shard_capacity, ncol), dtype=np.dtype(dtype))
+        counts = np.zeros((p,), dtype=np.int32)
+        base = nrow // p
+        rem = nrow % p
+        start = 0
+        for i in range(p):
+            n_i = base + (1 if i < rem else 0)
+            if n_i > shard_capacity:
+                raise ValueError(
+                    f"shard {i} needs {n_i} rows > shard_capacity {shard_capacity}"
+                )
+            buf[i * shard_capacity : i * shard_capacity + n_i] = array[
+                start : start + n_i
+            ]
+            counts[i] = n_i
+            start += n_i
+        data = jax.device_put(
+            jnp.asarray(buf, dtype=dtype), NamedSharding(mesh, P(axis, None))
+        )
+        cnt = jax.device_put(jnp.asarray(counts), NamedSharding(mesh, P(axis)))
+        return cls(data=data, counts=cnt, names=tuple(names))
+
+    def to_numpy(self) -> np.ndarray:
+        """Gather valid rows of all shards, in shard order."""
+        p = self.counts.shape[0]
+        shard_cap = self.data.shape[0] // p
+        data = np.asarray(jax.device_get(self.data))
+        counts = np.asarray(jax.device_get(self.counts))
+        parts = [
+            data[i * shard_cap : i * shard_cap + counts[i]] for i in range(p)
+        ]
+        return np.concatenate(parts, axis=0) if parts else data[:0]
+
+
+# ---------------------------------------------------------------------------
+# The SPMD pipeline
+# ---------------------------------------------------------------------------
+
+
+def _local_table(data: jax.Array, count: jax.Array, names: tuple) -> Table:
+    return Table(data=data, num_rows=count.reshape(()).astype(jnp.int32), names=names)
+
+
+def distributed_pipeline_core(
+    t1: ShardedTable,
+    t2: ShardedTable,
+    config: EngineConfig,
+    mesh: Mesh,
+    *,
+    exchange_capacity: int,
+) -> ShardedTable:
+    """filter -> sample splitters -> range exchange -> sort -> join, SPMD."""
+    axis = config.mesh_axis
+    num_partitions = mesh.shape[axis]
+    sample_size = config.splitter_sample
+    bucket_cap = -(-exchange_capacity // num_partitions)
+
+    def stage_filter_sample(data, counts, pred, key):
+        t = _local_table(data, counts, ())
+        f = filter_ops.apply_filter(t, pred)
+        keys = f.masked_keys(key)
+        smp = sample_keys(keys, f.num_rows, sample_size)
+        return f.data, f.num_rows.reshape(1), smp.reshape(1, sample_size)
+
+    def stage_exchange_sort(data, counts, splitters, key):
+        t = _local_table(data, counts, ())
+        keys = t.masked_keys(key)
+        dest = destination_of(keys, splitters.reshape(-1), t.valid_mask())
+        ex = all_to_all_exchange(
+            t.data,
+            dest,
+            axis,
+            bucket_capacity=bucket_cap,
+            recv_capacity=exchange_capacity,
+        )
+        local = Table(data=ex.data, num_rows=ex.num_rows, names=())
+        s = sort_ops.sort_by_key(local, key, algorithm=config.sort_algorithm)
+        return s.data, s.num_rows.reshape(1), ex.true_rows.reshape(1)
+
+    def stage_join(d1, c1, d2, c2):
+        a = _local_table(d1, c1, tuple(f"col{i+1}" for i in range(d1.shape[1])))
+        b = _local_table(d2, c2, tuple(f"col{i+1}" for i in range(d2.shape[1])))
+        out = join_ops.merge_join(
+            a, b, config.join_key1, config.join_key2, mode=config.join_mode
+        )
+        return out.data, out.num_rows.reshape(1)
+
+    shmap = functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False
+    )
+
+    # --- stage 1: filter + local key sample -------------------------------
+    f1_data, f1_counts, smp1 = shmap(
+        functools.partial(
+            stage_filter_sample, pred=config.predicate1, key=config.join_key1
+        ),
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis, None)),
+    )(t1.data, t1.counts)
+    f2_data, f2_counts, smp2 = shmap(
+        functools.partial(
+            stage_filter_sample, pred=config.predicate2, key=config.join_key2
+        ),
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis, None)),
+    )(t2.data, t2.counts)
+
+    # --- stage 2: global splitters from the pooled sample -----------------
+    pooled = jnp.concatenate([smp1.reshape(-1), smp2.reshape(-1)])
+    splitters = choose_splitters(pooled, num_partitions)
+
+    # --- stage 3: range exchange + local sort (both tables) ---------------
+    s1_data, s1_counts, true1 = shmap(
+        functools.partial(stage_exchange_sort, key=config.join_key1),
+        in_specs=(P(axis, None), P(axis), P()),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+    )(f1_data, f1_counts, splitters)
+    s2_data, s2_counts, true2 = shmap(
+        functools.partial(stage_exchange_sort, key=config.join_key2),
+        in_specs=(P(axis, None), P(axis), P()),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+    )(f2_data, f2_counts, splitters)
+
+    # --- stage 4: co-partitioned local join -------------------------------
+    out_data, out_counts = shmap(
+        stage_join,
+        in_specs=(P(axis, None), P(axis), P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis)),
+    )(s1_data, s1_counts, s2_data, s2_counts)
+
+    ncol_out = t1.ncol + t2.ncol - 1
+    names = tuple(f"col{i + 1}" for i in range(ncol_out))
+    return ShardedTable(data=out_data, counts=out_counts, names=names)
+
+
+class DistributedQueryPipeline:
+    """Driver for the SPMD pipeline over a device mesh.
+
+    The multi-chip analog of `QueryPipeline`: same CSV-in/CSV-out contract,
+    with tables scattered over the mesh's partition axis. The "simulator"
+    configuration (reference S3, `backend=simulator`) is this same class on
+    a CPU mesh with `--xla_force_host_platform_device_count=N`.
+    """
+
+    def __init__(
+        self,
+        config: EngineConfig | None = None,
+        mesh: Mesh | None = None,
+    ):
+        self.config = config or EngineConfig()
+        if mesh is None:
+            devs = jax.devices()
+            mesh = Mesh(np.array(devs), (self.config.mesh_axis,))
+        self.mesh = mesh
+        self.metrics = MetricsCollector(enabled=self.config.collect_metrics)
+        self._jitted = {}
+
+    def _get_jitted(self, exchange_capacity: int):
+        key = exchange_capacity
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                functools.partial(
+                    distributed_pipeline_core,
+                    config=self.config,
+                    mesh=self.mesh,
+                    exchange_capacity=exchange_capacity,
+                )
+            )
+        return self._jitted[key]
+
+    def run_tables(self, t1: ShardedTable, t2: ShardedTable) -> ShardedTable:
+        p = self.mesh.shape[self.config.mesh_axis]
+        shard_cap = max(t1.data.shape[0], t2.data.shape[0]) // p
+        exchange_capacity = int(shard_cap * self.config.exchange_slack)
+        # Round to a lane-friendly multiple.
+        exchange_capacity = -(-exchange_capacity // 128) * 128
+        fn = self._get_jitted(exchange_capacity)
+        with self.metrics.stage("execute") as m:
+            out = fn(t1, t2)
+            out = jax.block_until_ready(out)
+            m.rows_out = int(jnp.sum(out.counts))
+        return out
+
+    def run_arrays(self, rows1: np.ndarray, rows2: np.ndarray) -> ShardedTable:
+        axis = self.config.mesh_axis
+        dtype = self.config.jnp_dtype()
+        with self.metrics.stage("host_to_device") as m:
+            t1 = ShardedTable.from_numpy(rows1, self.mesh, axis, dtype=dtype)
+            t2 = ShardedTable.from_numpy(rows2, self.mesh, axis, dtype=dtype)
+            jax.block_until_ready((t1.data, t2.data))
+            m.bytes_moved = rows1.nbytes + rows2.nbytes
+        return self.run_tables(t1, t2)

@@ -1,0 +1,111 @@
+"""The all_to_all row exchange (runs inside shard_map).
+
+The TPU-native replacement for the reference's host-mediated data movement
+(SURVEY.md section 2d): where every inter-DPU byte bounces through host DRAM
+via `dpu_push_xfer` gathers, host memcpy regroup and re-scatter
+(app.c:272-288, 425-501), this module moves rows device-to-device over
+ICI/DCN with a single `lax.all_to_all` inside `shard_map` -- no host on the
+path.
+
+Variable per-destination row counts (the "dynamic shapes" hard part,
+SURVEY.md section 7) are handled with fixed-capacity buckets: each shard
+packs its rows into P buckets of C rows, exchanges the [P, C] block plus the
+true per-bucket counts, then compacts the received rows. Overflowing a bucket
+cannot corrupt data -- overflow rows are dropped deterministically and the
+true counts travel with the data, so the caller can detect the overflow
+(received count > capacity) and fail loudly or re-run with more slack.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ExchangeResult(NamedTuple):
+    data: jax.Array        # [recv_capacity, ncol] compacted received rows
+    num_rows: jax.Array    # int32: rows actually materialized (post-drop)
+    true_rows: jax.Array   # int32: rows that SHOULD have arrived (overflow if >)
+
+
+def all_to_all_exchange(
+    data: jax.Array,
+    dest: jax.Array,
+    axis_name: str,
+    *,
+    bucket_capacity: int,
+    recv_capacity: int | None = None,
+) -> ExchangeResult:
+    """Route rows of ``data`` to the shard named by ``dest`` over ``axis_name``.
+
+    Must be called inside ``shard_map`` over a mesh axis of size P.
+
+    Args:
+      data: [cap, ncol] local rows (padding rows allowed).
+      dest: [cap] int32 destination shard per row; values >= P mark rows to
+        drop (invalid/padding rows).
+      axis_name: mesh axis to exchange over.
+      bucket_capacity: C, max rows this shard may send to any one shard.
+      recv_capacity: capacity of the compacted receive buffer (default P*C).
+
+    Rows keep a deterministic global order: received rows are ordered by
+    (source shard, source local order), which downstream stable sorts
+    preserve into reproducible, run-invariant output.
+    """
+    num_partitions = jax.lax.axis_size(axis_name)
+    cap, ncol = data.shape
+    c = bucket_capacity
+    recv_cap = num_partitions * c if recv_capacity is None else recv_capacity
+
+    # --- pack rows into per-destination buckets ---------------------------
+    # Stable sort by destination groups rows while preserving local order.
+    order = jnp.argsort(dest, stable=True)
+    sorted_dest = jnp.take(dest, order, axis=0)
+    sorted_rows = jnp.take(data, order, axis=0)
+
+    counts = jnp.zeros((num_partitions,), dtype=jnp.int32).at[dest].add(
+        1, mode="drop"
+    )
+    starts = jnp.cumsum(counts) - counts  # exclusive prefix, [P]
+    safe_dest = jnp.minimum(sorted_dest, num_partitions - 1)
+    offset = jnp.arange(cap, dtype=jnp.int32) - jnp.take(starts, safe_dest)
+    slot = safe_dest * c + offset
+    in_range = (sorted_dest < num_partitions) & (offset < c)
+    slot = jnp.where(in_range, slot, num_partitions * c)
+    buckets = jnp.zeros((num_partitions * c, ncol), dtype=data.dtype)
+    buckets = buckets.at[slot, :].set(sorted_rows, mode="drop")
+
+    # --- the exchange -----------------------------------------------------
+    # tiled all_to_all: chunk j of our buckets goes to shard j; received
+    # chunk i sits at block i, so arrival order is source-shard order.
+    recv = jax.lax.all_to_all(
+        buckets.reshape(num_partitions, c, ncol),
+        axis_name,
+        split_axis=0,
+        concat_axis=0,
+        tiled=False,
+    ).reshape(num_partitions * c, ncol)
+    sent_counts = jnp.minimum(counts, c)  # what actually fit
+    recv_counts = jax.lax.all_to_all(
+        sent_counts.reshape(num_partitions, 1), axis_name, 0, 0
+    ).reshape(num_partitions)
+    recv_true = jax.lax.all_to_all(
+        counts.reshape(num_partitions, 1), axis_name, 0, 0
+    ).reshape(num_partitions)
+
+    # --- compact received rows -------------------------------------------
+    flat_idx = jnp.arange(num_partitions * c, dtype=jnp.int32)
+    chunk = flat_idx // c
+    off = flat_idx % c
+    valid = off < jnp.take(recv_counts, chunk)
+    num_rows = jnp.sum(valid, dtype=jnp.int32)
+    pos = jnp.where(valid, jnp.cumsum(valid, dtype=jnp.int32) - 1, recv_cap)
+    out = jnp.zeros((recv_cap, ncol), dtype=data.dtype)
+    out = out.at[pos, :].set(recv, mode="drop")
+    return ExchangeResult(
+        data=out,
+        num_rows=jnp.minimum(num_rows, recv_cap),
+        true_rows=jnp.sum(recv_true, dtype=jnp.int32),
+    )

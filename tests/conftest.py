@@ -7,13 +7,22 @@ devices in one process so multi-chip sharding is exercised without hardware.
 
 import os
 
-# Must be set before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes. Overrides the ambient platform (the
+# shell may pin JAX_PLATFORMS=axon/tpu): unit tests always run on the
+# virtual CPU mesh; TPU-marked tests opt back in explicitly.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# jax may already be imported (pytest plugins); the config update still works
+# as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
