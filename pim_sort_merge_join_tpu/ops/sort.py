@@ -28,10 +28,22 @@ def sort_by_key(table: Table, key: int, *, algorithm: str = "xla") -> Table:
     if algorithm == "pallas_bitonic":
         from pim_sort_merge_join_tpu.ops.pallas.sort_kernel import sort_pairs_pallas
 
-        sorted_keys, order = sort_pairs_pallas(
-            keys, jnp.arange(table.capacity, dtype=jnp.int32)
+        # The Pallas kernel sorts int32 pairs; keys wider than 32 bits must
+        # fit int32 (true for the reference generator: keys <= 3N). Padding
+        # sentinels map to int32 max explicitly since a plain cast of the
+        # int64 sentinel would wrap to -1.
+        if keys.dtype != jnp.int32:
+            keys32 = jnp.where(
+                table.valid_mask(),
+                jnp.clip(keys, jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max),
+                jnp.iinfo(jnp.int32).max,
+            ).astype(jnp.int32)
+        else:
+            keys32 = keys
+        _, order = sort_pairs_pallas(
+            keys32, jnp.arange(table.capacity, dtype=jnp.int32)
         )
-        del sorted_keys
+        order = order.astype(jnp.int32)
     elif algorithm == "xla":
         # Stable argsort: XLA sorts (keys, iota) as a lexicographic pair.
         order = jnp.argsort(keys, stable=True)

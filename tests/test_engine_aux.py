@@ -1,0 +1,132 @@
+"""Aux subsystem tests: checkpoint/resume, errors, logging, CLI, simulator."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pim_sort_merge_join_tpu.columnar import csv_io
+from pim_sort_merge_join_tpu.columnar.table import Table
+from pim_sort_merge_join_tpu.config import EngineConfig, Predicate
+from pim_sort_merge_join_tpu.engine.checkpoint import (
+    StageCheckpointer,
+    config_fingerprint,
+)
+from pim_sort_merge_join_tpu.engine.pipeline import QueryPipeline
+from pim_sort_merge_join_tpu.ops import oracle
+
+
+def test_checkpoint_roundtrip(tmp_path, small_tables):
+    t = Table.from_numpy(small_tables[0])
+    ckpt = StageCheckpointer(str(tmp_path), "fp1")
+    ckpt.save("sorted", t1=t)
+    assert ckpt.has("sorted")
+    back = ckpt.load_table("sorted", "t1")
+    np.testing.assert_array_equal(back.to_numpy(), t.to_numpy())
+    assert back.names == t.names
+
+
+def test_checkpoint_fingerprint_invalidates(tmp_path, small_tables):
+    t = Table.from_numpy(small_tables[0])
+    StageCheckpointer(str(tmp_path), "fpA").save("sorted", t1=t)
+    assert not StageCheckpointer(str(tmp_path), "fpB").has("sorted")
+
+
+def test_resumable_pipeline_matches_and_resumes(tmp_path, small_tables):
+    r1, r2 = small_tables
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", 100),
+        predicate2=Predicate(0, ">", 100),
+        checkpoint_dir=str(tmp_path),
+    )
+    pipe = QueryPipeline(cfg)
+    t1, t2 = Table.from_numpy(r1), Table.from_numpy(r2)
+    out1 = pipe.run_tables_resumable(t1, t2).to_numpy()
+    want = oracle.pipeline_oracle(r1, r2, pred1=(0, ">", 100), pred2=(0, ">", 100))
+    np.testing.assert_array_equal(out1, want)
+    ckpt = StageCheckpointer(str(tmp_path), config_fingerprint(cfg))
+    assert set(ckpt.completed_stages()) == {"sorted", "joined"}
+    # Resume: garbage inputs prove stage 1 is skipped (sorted state loaded).
+    garbage = Table.from_numpy(np.zeros_like(r1))
+    out2 = QueryPipeline(cfg).run_tables_resumable(garbage, garbage).to_numpy()
+    np.testing.assert_array_equal(out2, want)
+
+
+def test_exchange_overflow_raises():
+    import jax
+    from jax.sharding import Mesh
+
+    from pim_sort_merge_join_tpu.engine.distributed import DistributedQueryPipeline
+    from pim_sort_merge_join_tpu.engine.errors import ExchangeOverflowError
+
+    rng = np.random.default_rng(3)
+    # All rows share one key -> everything routes to a single shard, far
+    # beyond slack 1.0.
+    keys = np.full(800, 7)
+    rows = np.column_stack([keys, rng.integers(0, 10, (800, 3))]).astype(np.int64)
+    cfg = EngineConfig(
+        predicate1=Predicate(1, ">=", 0),
+        predicate2=Predicate(1, ">=", 0),
+        exchange_slack=1.0,
+        splitter_sample=32,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("p",))
+    pipe = DistributedQueryPipeline(cfg, mesh)
+    with pytest.raises(ExchangeOverflowError) as ei:
+        pipe.run_arrays(rows, rows.copy())
+    assert "exchange_slack" in str(ei.value)
+
+
+def test_structured_logging(capsys):
+    import io
+
+    from pim_sort_merge_join_tpu.engine import logging as elog
+
+    buf = io.StringIO()
+    elog.configure(stream=buf)
+    elog.log_event("stage_done", stage="sort", rows=123)
+    line = buf.getvalue().strip()
+    payload = json.loads(line)
+    assert payload["event"] == "stage_done"
+    assert payload["stage"] == "sort"
+    assert payload["rows"] == 123
+
+
+def test_cli_run_and_generate(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    d1, d2 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    out = str(tmp_path / "r.csv")
+    gen = subprocess.run(
+        [sys.executable, "-m", "pim_sort_merge_join_tpu.runner.cli",
+         "generate", "500", "--out1", d1, "--out2", d2],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert gen.returncode == 0, gen.stderr
+    run = subprocess.run(
+        [sys.executable, "-m", "pim_sort_merge_join_tpu.runner.cli",
+         "run", d1, d2, "-o", out, "--select-val1", "100",
+         "--select-val2", "100", "--simulator", "4", "--distributed",
+         "--metrics"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr
+    rows1 = csv_io.load_csv_numpy(d1)
+    rows2 = csv_io.load_csv_numpy(d2)
+    want = oracle.pipeline_oracle(
+        rows1, rows2, pred1=(0, ">", 100), pred2=(0, ">", 100)
+    )
+    got = csv_io.load_csv_numpy(out)
+    np.testing.assert_array_equal(got, want)
+    json.loads(run.stdout)  # --metrics emits valid JSON
+
+
+def test_malformed_csv_message(tmp_path):
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("col1,col2\n1,2\n3\n")
+    with pytest.raises(ValueError, match="bad.csv"):
+        csv_io.load_csv_numpy(p)
