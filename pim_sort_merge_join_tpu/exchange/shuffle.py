@@ -60,15 +60,22 @@ def all_to_all_exchange(
     recv_cap = num_partitions * c if recv_capacity is None else recv_capacity
 
     # --- pack rows into per-destination buckets ---------------------------
-    # Stable sort by destination groups rows while preserving local order.
-    order = jnp.argsort(dest, stable=True)
-    sorted_dest = jnp.take(dest, order, axis=0)
-    sorted_rows = jnp.take(data, order, axis=0)
-
-    counts = jnp.zeros((num_partitions,), dtype=jnp.int32).at[dest].add(
-        1, mode="drop"
+    # Stable multi-operand sort by destination groups rows while preserving
+    # local order (rows ride the sort network; no random gather).
+    sorted_ops = jax.lax.sort(
+        (dest.astype(jnp.int32),) + tuple(data[:, c] for c in range(ncol)),
+        num_keys=1,
+        is_stable=True,
     )
-    starts = jnp.cumsum(counts) - counts  # exclusive prefix, [P]
+    sorted_dest = sorted_ops[0]
+    sorted_rows = jnp.stack(sorted_ops[1:], axis=1)
+
+    # Per-destination counts from run boundaries in the sorted dest vector.
+    boundaries = jnp.searchsorted(
+        sorted_dest, jnp.arange(num_partitions + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = boundaries[1:] - boundaries[:-1]
+    starts = boundaries[:-1]  # exclusive prefix, [P]
     safe_dest = jnp.minimum(sorted_dest, num_partitions - 1)
     offset = jnp.arange(cap, dtype=jnp.int32) - jnp.take(starts, safe_dest)
     slot = safe_dest * c + offset

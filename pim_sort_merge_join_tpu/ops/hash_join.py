@@ -90,38 +90,48 @@ def hash_join(
     from pim_sort_merge_join_tpu.ops import join as join_ops
     from pim_sort_merge_join_tpu.ops import sort as sort_ops
 
+    from pim_sort_merge_join_tpu.ops.join import _run_starts
+
     cap1 = t1.capacity
     # Sort both sides by (hash, row) -- bijective, so equal-hash runs are
     # equal-key runs and table-row order within runs is preserved (stable).
+    # Multi-operand sort carries hash + original row + all columns together.
     h1 = _hashed_keys(t1, key1)
     h2 = _hashed_keys(t2, key2)
-    ord1 = jnp.argsort(h1, stable=True)
-    ord2 = jnp.argsort(h2, stable=True)
-    s1 = t1.replace(data=jnp.take(t1.data, ord1, axis=0))
-    s2 = t2.replace(data=jnp.take(t2.data, ord2, axis=0))
-    sh1 = jnp.take(h1, ord1)
-    sh2 = jnp.take(h2, ord2)
+    iota1 = jnp.arange(cap1, dtype=jnp.int32)
+    sorted1 = jax.lax.sort(
+        (h1, iota1) + tuple(t1.data[:, c] for c in range(t1.ncol)),
+        num_keys=1, is_stable=True,
+    )
+    sh1, ord1 = sorted1[0], sorted1[1]
+    s1 = t1.replace(data=jnp.stack(sorted1[2:], axis=1))
+    sorted2 = jax.lax.sort(
+        (h2,) + tuple(t2.data[:, c] for c in range(t2.ncol)),
+        num_keys=1, is_stable=True,
+    )
+    sh2 = sorted2[0]
+    s2 = t2.replace(data=jnp.stack(sorted2[1:], axis=1))
 
     # Merge-match in hash space (reuses the sorted-join matching core with
     # hashed key vectors).
-    lo2 = jnp.searchsorted(sh2, sh1, side="left").astype(jnp.int32)
-    hi2 = jnp.searchsorted(sh2, sh1, side="right").astype(jnp.int32)
-    lo1 = jnp.searchsorted(sh1, sh1, side="left").astype(jnp.int32)
+    lo2 = jnp.searchsorted(sh2, sh1, side="left", method="sort").astype(jnp.int32)
+    hi2 = jnp.searchsorted(sh2, sh1, side="right", method="sort").astype(jnp.int32)
+    lo1 = _run_starts(sh1)
     occ = jnp.arange(cap1, dtype=jnp.int32) - lo1
     valid1 = s1.valid_mask()
 
     if mode == "one_to_one":
         match = valid1 & (occ < hi2 - lo2)
         partner = lo2 + occ
-        # Matched pairs, restored to original table-1 row order: scatter by
-        # the pre-sort row id.
-        orig1 = jnp.take(ord1, jnp.arange(cap1), axis=0).astype(jnp.int32)
-        # rank of each matched row among matches in original-row order:
-        sel = jnp.where(match, orig1, cap1)
-        rank_order = jnp.argsort(sel, stable=True)  # matched rows first, by orig row
+        # Matched pairs, restored to original table-1 row order: one stable
+        # sort keyed on (unmatched?, original row id).
+        sel = jnp.where(match, ord1.astype(jnp.int32), cap1)
         num_out = jnp.sum(match, dtype=jnp.int32)
-        src1_sorted = jnp.take(jnp.arange(cap1, dtype=jnp.int32), rank_order)
-        src2_sorted = jnp.take(partner, rank_order)
+        _, src1_sorted, src2_sorted = jax.lax.sort(
+            (sel, jnp.arange(cap1, dtype=jnp.int32), partner),
+            num_keys=1,
+            is_stable=True,
+        )
         valid_out = jnp.arange(cap1, dtype=jnp.int32) < num_out
         return join_ops._emit(
             s1, s2, key2, src1_sorted, src2_sorted, valid_out, num_out
@@ -139,7 +149,10 @@ def hash_join(
         total = jnp.sum(cnt_orig, dtype=jnp.int32)
         j = jnp.arange(out_cap, dtype=jnp.int32)
         row_orig = (
-            jnp.searchsorted(starts, j, side="right").astype(jnp.int32) - 1
+            jnp.searchsorted(starts, j, side="right", method="sort").astype(
+                jnp.int32
+            )
+            - 1
         ).clip(0, cap1 - 1)
         offset = j - jnp.take(starts, row_orig)
         pos_hash = jnp.take(inv1, row_orig)
@@ -166,11 +179,17 @@ def hash_aggregate(
     dtype = table.dtype
     # Group in hash order (uniform buckets), emit in key order.
     h = _hashed_keys(table, key)
-    order = jnp.argsort(h, stable=True)
-    sk = jnp.take(table.column(key), order)
-    sv = jnp.take(table.column(value), order)
-    sh = jnp.take(h, order)
-    valid = jnp.take(table.valid_mask(), order)
+    sh, sk, sv, validi = jax.lax.sort(
+        (
+            h,
+            table.column(key),
+            table.column(value),
+            table.valid_mask().astype(jnp.int8),
+        ),
+        num_keys=1,
+        is_stable=True,
+    )
+    valid = validi.astype(jnp.bool_)
 
     head = valid & jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sh[1:] != sh[:-1]]
@@ -196,9 +215,9 @@ def hash_aggregate(
     # Emit sorted by key: groups currently in hash order.
     gvalid = jnp.arange(cap, dtype=jnp.int32) < num_groups
     sort_keys = jnp.where(gvalid, out_k, jnp.iinfo(dtype).max)
-    korder = jnp.argsort(sort_keys, stable=True)
-    data = jnp.stack(
-        [jnp.take(out_k, korder), jnp.take(out_v, korder)], axis=1
+    _, final_k, final_v = jax.lax.sort(
+        (sort_keys, out_k, out_v), num_keys=1, is_stable=True
     )
+    data = jnp.stack([final_k, final_v], axis=1)
     data = jnp.where(gvalid[:, None], data, jnp.zeros_like(data))
     return Table(data=data, num_rows=num_groups, names=("key", agg))

@@ -77,12 +77,28 @@ class _MatchInfo(NamedTuple):
     occ: jax.Array  # occurrence rank of t1 row within its equal-key run
 
 
+def _run_starts(keys: jax.Array) -> jax.Array:
+    """For sorted ``keys``: index of the first element of each equal run.
+
+    O(n) head-flag + running max -- replaces a self-searchsorted, which at
+    16M int64 elements costs seconds in scan mode.
+    """
+    n = keys.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), keys[1:] != keys[:-1]]
+    )
+    return jax.lax.cummax(jnp.where(head, iota, 0))
+
+
 def _match_info(t1: Table, t2: Table, key1: int, key2: int) -> _MatchInfo:
     k1 = t1.masked_keys(key1)
     k2 = t2.masked_keys(key2)
-    lo2 = jnp.searchsorted(k2, k1, side="left").astype(jnp.int32)
-    hi2 = jnp.searchsorted(k2, k1, side="right").astype(jnp.int32)
-    lo1 = jnp.searchsorted(k1, k1, side="left").astype(jnp.int32)
+    # method='sort': rank-by-merge instead of per-query binary search --
+    # sequential access, ~20x faster than the scan method at 16M int64.
+    lo2 = jnp.searchsorted(k2, k1, side="left", method="sort").astype(jnp.int32)
+    hi2 = jnp.searchsorted(k2, k1, side="right", method="sort").astype(jnp.int32)
+    lo1 = _run_starts(k1)
     occ = jnp.arange(t1.capacity, dtype=jnp.int32) - lo1
     return _MatchInfo(lo2=lo2, cnt2=hi2 - lo2, occ=occ)
 
@@ -96,13 +112,18 @@ def merge_join_one_to_one(t1: Table, t2: Table, key1: int, key2: int) -> Table:
     match = t1.valid_mask() & (info.occ < info.cnt2)
     num_out = jnp.sum(match, dtype=jnp.int32)
     cap1 = t1.capacity
-    # Front-compact matched t1 rows, keeping table-1 order (== key order).
-    pos = jnp.where(match, jnp.cumsum(match, dtype=jnp.int32) - 1, cap1)
-    src1 = jnp.zeros((cap1,), dtype=jnp.int32).at[pos].set(
-        jnp.arange(cap1, dtype=jnp.int32), mode="drop"
-    )
+    # Front-compact matched (row, partner) pairs, keeping table-1 order
+    # (== key order): one stable sort on the inverted match flag.
     partner = info.lo2 + info.occ
-    src2 = jnp.zeros((cap1,), dtype=jnp.int32).at[pos].set(partner, mode="drop")
+    _, src1, src2 = jax.lax.sort(
+        (
+            (~match).astype(jnp.int8),
+            jnp.arange(cap1, dtype=jnp.int32),
+            partner,
+        ),
+        num_keys=1,
+        is_stable=True,
+    )
     valid_out = jnp.arange(cap1, dtype=jnp.int32) < num_out
     return _emit(t1, t2, key2, src1, src2, valid_out, num_out)
 
@@ -124,7 +145,8 @@ def merge_join_inner(
     j = jnp.arange(out_cap, dtype=jnp.int32)
     # Which t1 row does output slot j belong to? Last i with starts[i] <= j.
     src1 = (
-        jnp.searchsorted(starts, j, side="right").astype(jnp.int32) - 1
+        jnp.searchsorted(starts, j, side="right", method="sort").astype(jnp.int32)
+        - 1
     ).clip(0, t1.capacity - 1)
     offset = j - jnp.take(starts, src1)
     src2 = jnp.take(info.lo2, src1) + offset
