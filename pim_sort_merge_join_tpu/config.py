@@ -55,7 +55,14 @@ class EngineConfig:
     join_mode: JoinMode = "one_to_one"
 
     # --- dtype: reference supports uint64/int64/double via `T` (common.h:1-9)
+    # "int32" halves every byte moved (sorts, exchanges, gathers) when the
+    # data fits; ingest validates the fit and raises instead of wrapping.
     dtype: str = "int64"
+
+    # Donate input table buffers to the jitted pipeline (XLA reuses them
+    # for intermediates -- halves peak HBM at billion-row scale). Leave off
+    # when the same Table objects are reused across calls.
+    donate_inputs: bool = False
 
     # --- algorithm selection ---
     join_algorithm: JoinAlgorithm = "sort_merge"

@@ -195,16 +195,23 @@ def distributed_pipeline_core(
     splitters = choose_splitters(pooled, num_partitions)
 
     # --- stage 3: range exchange + local sort (both tables) ---------------
-    s1_data, s1_counts, true1 = shmap(
-        functools.partial(stage_exchange_sort, key=config.join_key1),
-        in_specs=(P(axis, None), P(axis), P()),
-        out_specs=(P(axis, None), P(axis), P(axis)),
-    )(f1_data, f1_counts, splitters)
-    s2_data, s2_counts, true2 = shmap(
-        functools.partial(stage_exchange_sort, key=config.join_key2),
-        in_specs=(P(axis, None), P(axis), P()),
-        out_specs=(P(axis, None), P(axis), P(axis)),
-    )(f2_data, f2_counts, splitters)
+    # The two tables' stages are independent: one fused shard_map region
+    # lets XLA's latency-hiding scheduler overlap table 2's all_to_all with
+    # table 1's local sort (the DPU_XFER_ASYNC/dpu_callback analog,
+    # dpu.h:72-82 -- here the compiler schedules the overlap).
+    def stage_exchange_sort_both(d1, c1, d2, c2, spl):
+        s1d, s1c, t1r = stage_exchange_sort(d1, c1, spl, key=config.join_key1)
+        s2d, s2c, t2r = stage_exchange_sort(d2, c2, spl, key=config.join_key2)
+        return s1d, s1c, t1r, s2d, s2c, t2r
+
+    s1_data, s1_counts, true1, s2_data, s2_counts, true2 = shmap(
+        stage_exchange_sort_both,
+        in_specs=(P(axis, None), P(axis), P(axis, None), P(axis), P()),
+        out_specs=(
+            P(axis, None), P(axis), P(axis),
+            P(axis, None), P(axis), P(axis),
+        ),
+    )(f1_data, f1_counts, f2_data, f2_counts, splitters)
 
     # --- stage 4: co-partitioned local join -------------------------------
     out_data, out_counts = shmap(
@@ -273,6 +280,11 @@ class DistributedQueryPipeline:
             out, diag = fn(t1, t2)
             out = jax.block_until_ready(out)
             m.rows_out = int(jnp.sum(out.counts))
+            row_bytes = t1.ncol * np.dtype(t1.data.dtype).itemsize
+            shuffled = int(jnp.sum(diag["sorted_rows1"])) + int(
+                jnp.sum(diag["sorted_rows2"])
+            )
+            m.bytes_moved = shuffled * row_bytes
         if check_overflow:
             from pim_sort_merge_join_tpu.engine.errors import ExchangeOverflowError
 

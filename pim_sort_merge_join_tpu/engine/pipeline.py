@@ -82,7 +82,8 @@ class QueryPipeline:
         self.config = config or EngineConfig()
         self.metrics = MetricsCollector(enabled=self.config.collect_metrics)
         self._jitted = jax.jit(
-            functools.partial(pipeline_core, config=self.config)
+            functools.partial(pipeline_core, config=self.config),
+            donate_argnums=(0, 1) if self.config.donate_inputs else (),
         )
 
     # -- device path -------------------------------------------------------
@@ -104,9 +105,25 @@ class QueryPipeline:
     ) -> Table:
         dtype = self.config.jnp_dtype()
         with self.metrics.stage("ingest") as m:
-            rows1 = csv_io.load_csv_numpy(path1, dtype=dtype)
-            rows2 = csv_io.load_csv_numpy(path2, dtype=dtype)
+            rows1 = csv_io.load_csv_numpy(path1, dtype=np.int64)
+            rows2 = csv_io.load_csv_numpy(path2, dtype=np.int64)
             m.rows_in = rows1.shape[0] + rows2.shape[0]
+        if np.dtype(dtype).itemsize < 8:
+            info = np.iinfo(np.dtype(dtype))
+            for path, rows in ((path1, rows1), (path2, rows2)):
+                if rows.size and (
+                    rows.max() > info.max or rows.min() < info.min
+                ):
+                    from pim_sort_merge_join_tpu.engine.errors import (
+                        MalformedInputError,
+                    )
+
+                    raise MalformedInputError(
+                        f"{path}: values exceed configured dtype "
+                        f"{self.config.dtype} range [{info.min}, {info.max}]"
+                    )
+            rows1 = rows1.astype(dtype)
+            rows2 = rows2.astype(dtype)
         with self.metrics.stage("host_to_device") as m:
             t1 = Table.from_numpy(rows1, capacity=capacity, dtype=dtype)
             t2 = Table.from_numpy(rows2, capacity=capacity, dtype=dtype)
