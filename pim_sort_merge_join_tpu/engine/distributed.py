@@ -232,6 +232,67 @@ def distributed_pipeline_core(
     return result, diagnostics
 
 
+def distributed_aggregate_core(
+    t: ShardedTable,
+    config: EngineConfig,
+    mesh: Mesh,
+    *,
+    key: int,
+    value: int,
+    agg: str,
+    exchange_capacity: int,
+):
+    """Distributed group-by aggregate: range-exchange by key, local aggregate.
+
+    Equal keys co-locate (same invariant as the join), so per-shard
+    aggregation is globally correct; output shards hold disjoint ascending
+    key ranges, so concatenation in shard order is globally key-sorted.
+    """
+    axis = config.mesh_axis
+    num_partitions = mesh.shape[axis]
+    sample_size = config.splitter_sample
+    bucket_cap = -(-exchange_capacity // num_partitions)
+
+    def stage_sample(data, counts):
+        t_loc = _local_table(data, counts, ())
+        keys = t_loc.masked_keys(key)
+        return sample_keys(keys, t_loc.num_rows, sample_size).reshape(
+            1, sample_size
+        )
+
+    def stage_exchange_aggregate(data, counts, splitters):
+        from pim_sort_merge_join_tpu.ops.hash_join import hash_aggregate
+
+        t_loc = _local_table(data, counts, ())
+        keys = t_loc.masked_keys(key)
+        dest = destination_of(keys, splitters.reshape(-1), t_loc.valid_mask())
+        ex = all_to_all_exchange(
+            t_loc.data,
+            dest,
+            axis,
+            bucket_capacity=bucket_cap,
+            recv_capacity=exchange_capacity,
+        )
+        local = Table(data=ex.data, num_rows=ex.num_rows, names=())
+        out = hash_aggregate(local, key, value, agg)
+        return out.data, out.num_rows.reshape(1), ex.true_rows.reshape(1)
+
+    shmap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
+    smp = shmap(
+        stage_sample,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P(axis, None),
+    )(t.data, t.counts)
+    splitters = choose_splitters(smp.reshape(-1), num_partitions)
+    out_data, out_counts, true_rows = shmap(
+        stage_exchange_aggregate,
+        in_specs=(P(axis, None), P(axis), P()),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+    )(t.data, t.counts, splitters)
+    result = ShardedTable(data=out_data, counts=out_counts, names=("key", agg))
+    return result, {"exchange_true_rows": true_rows}
+
+
 class DistributedQueryPipeline:
     """Driver for the SPMD pipeline over a device mesh.
 
@@ -299,6 +360,44 @@ class DistributedQueryPipeline:
 
     def metrics_json(self) -> str:
         return self.metrics.to_json()
+
+    def run_aggregate(
+        self,
+        t: ShardedTable,
+        *,
+        key: int = 0,
+        value: int = 1,
+        agg: str = "sum",
+        check_overflow: bool = True,
+    ) -> ShardedTable:
+        """Distributed group-by-key aggregate over the mesh."""
+        p = self.mesh.shape[self.config.mesh_axis]
+        shard_cap = t.data.shape[0] // p
+        exchange_capacity = -(-int(shard_cap * self.config.exchange_slack) // 128) * 128
+        sig = ("agg", key, value, agg, exchange_capacity)
+        if sig not in self._jitted:
+            self._jitted[sig] = jax.jit(
+                functools.partial(
+                    distributed_aggregate_core,
+                    config=self.config,
+                    mesh=self.mesh,
+                    key=key,
+                    value=value,
+                    agg=agg,
+                    exchange_capacity=exchange_capacity,
+                )
+            )
+        with self.metrics.stage("aggregate") as m:
+            out, diag = self._jitted[sig](t)
+            out = jax.block_until_ready(out)
+            m.rows_out = int(jnp.sum(out.counts))
+        if check_overflow:
+            from pim_sort_merge_join_tpu.engine.errors import ExchangeOverflowError
+
+            true = np.asarray(jax.device_get(diag["exchange_true_rows"]))
+            if (true > exchange_capacity).any():
+                raise ExchangeOverflowError("aggregate", true, exchange_capacity)
+        return out
 
     def run_arrays(self, rows1: np.ndarray, rows2: np.ndarray) -> ShardedTable:
         axis = self.config.mesh_axis

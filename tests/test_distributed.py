@@ -150,3 +150,17 @@ def test_distributed_empty_result():
     pipe = DistributedQueryPipeline(cfg, mesh)
     out = pipe.run_arrays(r, r.copy())
     assert out.to_numpy().shape == (0, 7)
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
+def test_distributed_aggregate_matches_oracle(rng, agg):
+    keys = rng.integers(0, 40, size=500)
+    rows = np.column_stack([keys, rng.integers(1, 100, (500, 2))]).astype(np.int64)
+    cfg = EngineConfig(exchange_slack=8.0, splitter_sample=128)
+    mesh = mesh8()
+    pipe = DistributedQueryPipeline(cfg, mesh)
+    t = ShardedTable.from_numpy(rows, mesh, "p")
+    out = pipe.run_aggregate(t, key=0, value=1, agg=agg)
+    got = out.to_numpy()
+    want = oracle.hash_aggregate_oracle(rows, 0, 1, agg)
+    np.testing.assert_array_equal(got, want)
