@@ -7,6 +7,12 @@ device execution time against the reference's published total
 (37,897.143 ms, NR_DPUS=64 / NR_TASKLETS=16 / CACHE_SIZE=256 on the UPMEM
 functional simulator; BASELINE.md table 1).
 
+Timing uses the serial-chain slope protocol in `bench/timing.py`: on this
+tunneled transport `block_until_ready` resolves at enqueue (not completion)
+and a scalar readback costs a ~25 ms round trip, so per-iteration device
+time is extracted as the slope between two chain lengths of a
+data-dependent `fori_loop` -- dispatch, RTT, and readback cancel.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
 vs_baseline is the speedup factor (reference_ms / ours_ms; higher is better).
@@ -15,7 +21,6 @@ vs_baseline is the speedup factor (reference_ms / ours_ms; higher is better).
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -43,8 +48,10 @@ def main():
     import functools
 
     import jax
+    import jax.numpy as jnp
 
     import pim_sort_merge_join_tpu as smj
+    from bench.timing import opaque_zero, time_chained_ms
     from pim_sort_merge_join_tpu.columnar.table import Table
     from pim_sort_merge_join_tpu.engine.pipeline import pipeline_core
 
@@ -56,26 +63,21 @@ def main():
     t2 = Table.from_numpy(rows2, dtype=dtype)
     jax.block_until_ready((t1.data, t2.data))
 
-    fn = jax.jit(functools.partial(pipeline_core, config=config))
+    core = functools.partial(pipeline_core, config=config)
 
-    # Compile + first run. NOTE: all timing happens BEFORE any device->host
-    # readback -- on tunneled-TPU transports the first d2h transfer
-    # permanently degrades dispatch latency (~0.15ms -> ~115ms per call),
-    # which would measure the tunnel, not the device. block_until_ready
-    # waits for device completion without transferring data.
-    out = jax.block_until_ready(fn(t1, t2))
-
-    reps = 20
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(t1, t2))
-        times.append((time.perf_counter() - t0) * 1000.0)
-    value = float(np.median(times))
-
-    # Validation readback (after timing).
+    # Correctness readback first (row count survives to the final report).
+    out = jax.jit(core)(t1, t2)
     expect_rows = int(out.num_rows)
     assert expect_rows > 0, "join produced no rows -- benchmark invalid"
+
+    def body(carry):
+        # opaque_zero keeps each iteration data-dependent on the last so
+        # XLA cannot hoist or overlap the pipeline across iterations.
+        t1p = t1.replace(num_rows=t1.num_rows + opaque_zero(carry))
+        res = core(t1p, t2)
+        return carry + res.num_rows
+
+    value = time_chained_ms(body, k1=2, k2=12, reps=5)
 
     print(
         json.dumps(
@@ -89,7 +91,7 @@ def main():
     )
     print(
         f"# device={jax.devices()[0]} joined_rows={expect_rows} "
-        f"reps={reps} min={min(times):.1f}ms max={max(times):.1f}ms "
+        f"chained-slope timing (bench/timing.py) "
         f"reference_total={REF_TOTAL_MS}ms",
         file=sys.stderr,
     )

@@ -1,8 +1,9 @@
 """Sort-throughput microbenchmark (M keys/s/chip).
 
 BASELINE.json's per-op metric: keys/s for the per-partition sort, across
-backends (XLA sort, Pallas bitonic) and dtypes. Times with device fencing
-only; no readbacks inside the loop (see bench.py).
+backends (XLA sort, Pallas bitonic) and dtypes. Timed with the serial-chain
+slope protocol (`bench/timing.py`) -- the only honest device timing on this
+transport.
 
 Run: python -m bench.sort_bench [--sizes 1048576,16777216]
 """
@@ -12,7 +13,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -21,6 +21,7 @@ def run(sizes, reps=5):
     import jax
     import jax.numpy as jnp
 
+    from bench.timing import opaque_zero, time_chained_ms
     from pim_sort_merge_join_tpu.ops.pallas.sort_kernel import (
         PALLAS_SORT_MAX,
         sort_pairs_pallas,
@@ -32,38 +33,34 @@ def run(sizes, reps=5):
         keys32 = keys64.astype(jnp.int32)
         idx = jnp.arange(n, dtype=jnp.int32)
 
+        def xla_sort(k, v):
+            return jax.lax.sort((k, v), num_keys=1, is_stable=True)
+
         variants = {
-            "xla_sort_i64": jax.jit(
-                lambda k, v: jax.lax.sort((k, v), num_keys=1, is_stable=True)
-            ),
-            "xla_sort_i32": jax.jit(
-                lambda k, v: jax.lax.sort((k, v), num_keys=1, is_stable=True)
-            ),
-        }
-        inputs = {
-            "xla_sort_i64": (keys64, idx),
-            "xla_sort_i32": (keys32, idx),
+            "xla_sort_i64": (xla_sort, keys64),
+            "xla_sort_i32": (xla_sort, keys32),
         }
         if n <= PALLAS_SORT_MAX:
-            variants["pallas_bitonic_i32"] = sort_pairs_pallas
-            inputs["pallas_bitonic_i32"] = (keys32, idx)
+            variants["pallas_bitonic_i32"] = (sort_pairs_pallas, keys32)
 
-        for name, fn in variants.items():
-            a = inputs[name]
-            out = jax.block_until_ready(fn(*a))
-            times = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                out = jax.block_until_ready(fn(*a))
-                times.append(time.perf_counter() - t0)
-            med = float(np.median(times))
+        for name, (fn, keys) in variants.items():
+
+            def body(carry, fn=fn, keys=keys):
+                # Data-dependent perturbation of one key defeats loop
+                # hoisting; folding a sorted output element back into the
+                # carry serializes iterations on device.
+                kp = keys.at[0].add(opaque_zero(carry).astype(keys.dtype))
+                out_k, out_v = fn(kp, idx)
+                return carry + out_v[n // 2]
+
+            med_ms = time_chained_ms(body, k1=1, k2=5, reps=reps)
             print(
                 json.dumps(
                     {
                         "bench": name,
                         "n": n,
-                        "wall_ms": round(med * 1000, 3),
-                        "mkeys_per_s": round(n / med / 1e6, 1),
+                        "wall_ms": round(med_ms, 3),
+                        "mkeys_per_s": round(n / (med_ms / 1e3) / 1e6, 1),
                     }
                 ),
                 flush=True,

@@ -26,6 +26,7 @@ def run_sweep(sizes, *, skip_cpu=False, reps=5, key_distribution="unique"):
     import jax
 
     import pim_sort_merge_join_tpu as smj
+    from bench.timing import opaque_zero, time_chained_ms
     from pim_sort_merge_join_tpu.columnar.generate import generate_table
     from pim_sort_merge_join_tpu.columnar.table import Table
     from pim_sort_merge_join_tpu.engine.pipeline import pipeline_core
@@ -58,25 +59,26 @@ def run_sweep(sizes, *, skip_cpu=False, reps=5, key_distribution="unique"):
         t2 = Table.from_numpy(rows2)
         jax.block_until_ready((t1.data, t2.data))
         fn = jax.jit(functools.partial(pipeline_core, config=cfg))
-        out = jax.block_until_ready(fn(t1, t2))  # compile
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(t1, t2))
-            times.append((time.perf_counter() - t0) * 1000)
+        out = fn(t1, t2)  # correctness run (validated below)
+
+        def body(carry):
+            t1p = t1.replace(num_rows=t1.num_rows + opaque_zero(carry))
+            res = pipeline_core(t1p, t2, config=cfg)
+            return carry + res.num_rows
+
+        med_ms = time_chained_ms(body, k1=1, k2=5, reps=reps)
         rec = {
             "engine": "tpu",
             "rows": n,
-            "wall_ms": round(float(np.median(times)), 3),
-            "rows_per_s": round(2 * n / (np.median(times) / 1000)),
+            "wall_ms": round(med_ms, 3),
+            "rows_per_s": round(2 * n / (med_ms / 1000)),
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)
         if want_rows is not None:
             pending_checks.append((n, out.num_rows, want_rows))
-    # All validation readbacks AFTER every timing loop: the first
-    # device->host transfer on tunneled transports degrades dispatch
-    # latency for the rest of the process.
+    # Deferred row-count validation (chained timing already paid the
+    # first-transfer cost; this is just tidier than asserting mid-sweep).
     for n, got_rows, want_rows in pending_checks:
         assert int(got_rows) == want_rows, (
             f"row-count mismatch at n={n}: {int(got_rows)} != {want_rows}"
