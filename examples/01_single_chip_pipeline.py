@@ -7,7 +7,11 @@ result.csv.
 Run: python examples/01_single_chip_pipeline.py [data1.csv data2.csv]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import pim_sort_merge_join_tpu as smj
 

@@ -7,7 +7,11 @@ exchange replacing the reference's host merge tree.
 Run: python examples/02_distributed_mesh.py [--simulator 8]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 if "--simulator" in sys.argv:
     n = int(sys.argv[sys.argv.index("--simulator") + 1])

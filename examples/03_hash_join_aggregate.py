@@ -7,7 +7,11 @@ anti-pattern on TPU).
 Run: python examples/03_hash_join_aggregate.py [--simulator N]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 if "--simulator" in sys.argv:
     from pim_sort_merge_join_tpu.runner.simulator import use_simulator
