@@ -70,14 +70,14 @@ def main():
     expect_rows = int(out.num_rows)
     assert expect_rows > 0, "join produced no rows -- benchmark invalid"
 
-    def body(carry):
+    def body(carry, a, b):
         # opaque_zero keeps each iteration data-dependent on the last so
         # XLA cannot hoist or overlap the pipeline across iterations.
-        t1p = t1.replace(num_rows=t1.num_rows + opaque_zero(carry))
-        res = core(t1p, t2)
+        ap = a.replace(num_rows=a.num_rows + opaque_zero(carry))
+        res = core(ap, b)
         return carry + res.num_rows
 
-    value = time_chained_ms(body, k1=2, k2=12, reps=5)
+    value = time_chained_ms(body, t1, t2, k1=2, k2=12, reps=5)
 
     print(
         json.dumps(

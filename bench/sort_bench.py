@@ -45,15 +45,15 @@ def run(sizes, reps=5):
 
         for name, (fn, keys) in variants.items():
 
-            def body(carry, fn=fn, keys=keys):
+            def body(carry, k, v, fn=fn):
                 # Data-dependent perturbation of one key defeats loop
                 # hoisting; folding a sorted output element back into the
                 # carry serializes iterations on device.
-                kp = keys.at[0].add(opaque_zero(carry).astype(keys.dtype))
-                out_k, out_v = fn(kp, idx)
+                kp = k.at[0].add(opaque_zero(carry).astype(k.dtype))
+                out_k, out_v = fn(kp, v)
                 return carry + out_v[n // 2]
 
-            med_ms = time_chained_ms(body, k1=1, k2=5, reps=reps)
+            med_ms = time_chained_ms(body, keys, idx, k1=1, k2=5, reps=reps)
             print(
                 json.dumps(
                     {

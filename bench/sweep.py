@@ -61,12 +61,12 @@ def run_sweep(sizes, *, skip_cpu=False, reps=5, key_distribution="unique"):
         fn = jax.jit(functools.partial(pipeline_core, config=cfg))
         out = fn(t1, t2)  # correctness run (validated below)
 
-        def body(carry):
-            t1p = t1.replace(num_rows=t1.num_rows + opaque_zero(carry))
-            res = pipeline_core(t1p, t2, config=cfg)
+        def body(carry, a, b, cfg=cfg):
+            ap = a.replace(num_rows=a.num_rows + opaque_zero(carry))
+            res = pipeline_core(ap, b, config=cfg)
             return carry + res.num_rows
 
-        med_ms = time_chained_ms(body, k1=1, k2=5, reps=reps)
+        med_ms = time_chained_ms(body, t1, t2, k1=1, k2=5, reps=reps)
         rec = {
             "engine": "tpu",
             "rows": n,

@@ -56,27 +56,33 @@ def _timed_call(fn, reps: int) -> float:
 
 
 def time_chained_ms(
-    body: Callable[[jax.Array], jax.Array],
-    *,
+    body: Callable[..., jax.Array],
+    *operands,
     k1: int = 2,
     k2: int = 10,
     reps: int = 5,
 ) -> float:
     """Per-iteration device ms of ``body`` via serial-chain slope.
 
-    ``body(carry) -> carry`` must thread the int32 scalar carry through the
-    measured computation (use `opaque_zero(carry)` to perturb an input and
-    fold an output scalar back into the carry). The returned time excludes
-    dispatch latency, tunnel RTT, and readback cost by construction.
+    ``body(carry, *operands) -> carry`` must thread the int32 scalar carry
+    through the measured computation (use `opaque_zero(carry)` to perturb an
+    input and fold an output scalar back into the carry). Pass the arrays the
+    body reads as ``operands`` rather than closing over them -- closed-over
+    device arrays are embedded in the compiled program as constants, which
+    bloats (and on remote-compile transports, outright rejects) the
+    executable. The returned time excludes dispatch latency, tunnel RTT, and
+    readback cost by construction.
     """
 
     def chained(k: int):
         looped = jax.jit(
-            lambda c: jax.lax.fori_loop(0, k, lambda i, cc: body(cc), c)
+            lambda c, *ops: jax.lax.fori_loop(
+                0, k, lambda i, cc: body(cc, *ops), c
+            )
         )
 
         def run():
-            out = looped(jnp.int32(0))
+            out = looped(jnp.int32(0), *operands)
             return int(out)  # scalar d2h readback: the only true fence
 
         return run
