@@ -79,3 +79,55 @@ def test_donated_inputs_pipeline(small_tables):
 
     if jax.default_backend() == "tpu":
         assert t1.data.is_deleted()
+
+
+def test_float64_pipeline_matches_oracle(small_tables):
+    """Reference T=double mode (common.h:5): same pipeline over float64."""
+    import functools
+
+    import jax
+
+    from pim_sort_merge_join_tpu.engine.pipeline import pipeline_core
+
+    r1, r2 = small_tables
+    f1 = r1.astype(np.float64) + 0.5  # non-integral keys exercise real floats
+    f2 = r2.astype(np.float64) + 0.5
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", 100),
+        predicate2=Predicate(0, ">", 100),
+        dtype="float64",
+    )
+    t1 = Table.from_numpy(f1, dtype=np.float64)
+    t2 = Table.from_numpy(f2, dtype=np.float64)
+    out = jax.jit(functools.partial(pipeline_core, config=cfg))(t1, t2)
+    want = oracle.pipeline_oracle(f1, f2, pred1=(0, ">", 100), pred2=(0, ">", 100))
+    np.testing.assert_array_equal(out.to_numpy(), want)
+
+
+def test_uint64_pipeline_matches_oracle(small_tables):
+    """Reference T=uint64_t mode (common.h:3), keys above int64 range."""
+    import functools
+
+    import jax
+
+    from pim_sort_merge_join_tpu.engine.pipeline import pipeline_core
+
+    r1, r2 = small_tables
+    # Push keys into the uint64-only range (> 2^63) to prove no wraparound.
+    hi = np.uint64(2**63)
+    u1 = r1.astype(np.uint64)
+    u2 = r2.astype(np.uint64)
+    u1[:, 0] += hi
+    u2[:, 0] += hi
+    thr = int(2**63 + 100)
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", thr),
+        predicate2=Predicate(0, ">", thr),
+        dtype="uint64",
+    )
+    t1 = Table.from_numpy(u1, dtype=np.uint64)
+    t2 = Table.from_numpy(u2, dtype=np.uint64)
+    out = jax.jit(functools.partial(pipeline_core, config=cfg))(t1, t2)
+    want = oracle.pipeline_oracle(u1, u2, pred1=(0, ">", thr), pred2=(0, ">", thr))
+    assert out.to_numpy().dtype == np.uint64
+    np.testing.assert_array_equal(out.to_numpy(), want)
