@@ -51,6 +51,15 @@ def warmup_transfer() -> None:
 
 def pipeline_core(t1: Table, t2: Table, config: EngineConfig) -> Table:
     """The traced filter -> sort -> join dataflow on two device tables."""
+    if config.join_algorithm == "sort_merge" and config.join_mode == "one_to_one":
+        # Fused path: filtering is a key mask and the join's slot-permutation
+        # sorts subsume the standalone compaction + table sorts -- ~2x fewer
+        # HBM passes than the staged path below, byte-identical output.
+        m1 = filter_ops.predicate_mask(t1, config.predicate1)
+        m2 = filter_ops.predicate_mask(t2, config.predicate2)
+        return join_ops.filter_join_one_to_one(
+            t1, t2, config.join_key1, config.join_key2, m1, m2
+        )
     f1 = filter_ops.apply_filter(t1, config.predicate1)
     f2 = filter_ops.apply_filter(t2, config.predicate2)
     s1 = sort_ops.sort_by_key(f1, config.join_key1, algorithm=config.sort_algorithm)
