@@ -147,6 +147,14 @@ def distributed_pipeline_core(
         smp = sample_keys(keys, f.num_rows, sample_size)
         return f.data, f.num_rows.reshape(1), smp.reshape(1, sample_size)
 
+    # For the 1:1 sort-merge mode the local sort after the exchange is
+    # skipped entirely: the merged-domain join core (ops/join.py) never
+    # needs sorted inputs, and exchange arrival order is deterministic, so
+    # per-shard output is still reproducible and key-ordered.
+    fused_local_join = (
+        config.join_mode == "one_to_one" and config.join_algorithm == "sort_merge"
+    )
+
     def stage_exchange_sort(data, counts, splitters, key):
         t = _local_table(data, counts, ())
         keys = t.masked_keys(key)
@@ -159,14 +167,18 @@ def distributed_pipeline_core(
             recv_capacity=exchange_capacity,
         )
         local = Table(data=ex.data, num_rows=ex.num_rows, names=())
-        s = sort_ops.sort_by_key(local, key, algorithm=config.sort_algorithm)
-        return s.data, s.num_rows.reshape(1), ex.true_rows.reshape(1)
+        if not fused_local_join:
+            local = sort_ops.sort_by_key(
+                local, key, algorithm=config.sort_algorithm
+            )
+        return local.data, local.num_rows.reshape(1), ex.true_rows.reshape(1)
 
     def stage_join(d1, c1, d2, c2):
         a = _local_table(d1, c1, tuple(f"col{i+1}" for i in range(d1.shape[1])))
         b = _local_table(d2, c2, tuple(f"col{i+1}" for i in range(d2.shape[1])))
         out = join_ops.merge_join(
-            a, b, config.join_key1, config.join_key2, mode=config.join_mode
+            a, b, config.join_key1, config.join_key2,
+            mode=config.join_mode, presorted=not fused_local_join,
         )
         return out.data, out.num_rows.reshape(1)
 

@@ -162,18 +162,14 @@ def _one_to_one_merged(t1: Table, t2: Table, key2: int, k1, k2) -> Table:
     cap1, cap2 = t1.capacity, t2.capacity
     n = cap1 + cap2
 
-    # --- 1. merge the key columns (side 0 = t1, wins ties) -----------------
+    # --- 1. merge the key columns (t1 wins ties) ---------------------------
+    # The concat position doubles as the side flag (pos >= cap1 means t2)
+    # and as the inversion key for step 2; sorting it as a secondary key
+    # puts t1 first on ties and keeps each side's original row order.
     keys = jnp.concatenate([k1, k2])
-    side = jnp.concatenate(
-        [jnp.zeros((cap1,), jnp.int8), jnp.ones((cap2,), jnp.int8)]
-    )
-    # Concat position rides along so step 2 can invert the merge for
-    # unsorted inputs too.
     pos = jnp.arange(n, dtype=jnp.int32)
-    mkeys, mside, mpos = jax.lax.sort(
-        (keys, side, pos), num_keys=2, is_stable=True
-    )
-    is2 = (mside == 1).astype(jnp.int32)
+    mkeys, mpos = jax.lax.sort((keys, pos), num_keys=2)
+    is2 = (mpos >= cap1).astype(jnp.int32)
     is1 = 1 - is2
 
     # Equal-key runs of the merged sequence.
@@ -317,9 +313,22 @@ def merge_join(
     *,
     mode: str = "one_to_one",
     out_capacity: int | None = None,
+    presorted: bool = True,
 ) -> Table:
+    """Join two tables on their key columns.
+
+    ``presorted=False`` (one_to_one only) accepts unsorted inputs -- the
+    merged-domain core establishes key order itself, so callers can skip
+    their own sort pass entirely.
+    """
     if mode == "one_to_one":
+        if not presorted:
+            return filter_join_one_to_one(
+                t1, t2, key1, key2, t1.valid_mask(), t2.valid_mask()
+            )
         return merge_join_one_to_one(t1, t2, key1, key2)
     if mode == "inner":
+        if not presorted:
+            raise ValueError("inner join requires key-sorted inputs")
         return merge_join_inner(t1, t2, key1, key2, out_capacity=out_capacity)
     raise ValueError(f"unknown join mode {mode!r}")
