@@ -175,19 +175,25 @@ def _one_to_one_merged(t1: Table, t2: Table, key2: int, k1, k2) -> Table:
     # Equal-key runs of the merged sequence.
     head = jnp.concatenate([jnp.ones((1,), jnp.bool_), mkeys[1:] != mkeys[:-1]])
     tail = jnp.concatenate([mkeys[1:] != mkeys[:-1], jnp.ones((1,), jnp.bool_)])
+    iota = jnp.arange(n, dtype=jnp.int32)
 
     # Per-side exclusive prefix counts and their values at run heads.
-    c1 = jnp.cumsum(is1, dtype=jnp.int32)  # inclusive
-    c2 = jnp.cumsum(is2, dtype=jnp.int32)
-    base1 = _head_broadcast(head, c1 - is1)  # side-1 count before my run
-    base2 = _head_broadcast(head, c2 - is2)
+    # Side-1 counts are scanned; side-0 counts follow from algebra
+    # (c1 + c2 = position + 1 everywhere), halving the scan passes.
+    c2 = jnp.cumsum(is2, dtype=jnp.int32)  # inclusive
+    c1 = (iota + 1) - c2
+    run_start = _head_broadcast(head, iota)
+    base2 = _head_broadcast(head, c2 - is2)  # side-1 count before my run
+    base1 = run_start - base2
     # Occurrence rank within (run, side).
     rank = jnp.where(is2 == 1, c2 - is2 - base2, c1 - is1 - base1)
-    # Run totals per side: prefix count at the run's END, broadcast back.
+    # Run totals per side: prefix count at the run's END, broadcast back
     # (reverse cummin of an inclusive nondecreasing prefix works because
-    # values within a run only grow.)
-    end1 = jax.lax.cummin(jnp.where(tail, c1, n)[::-1])[::-1]
+    # values within a run only grow); side-0 again by algebra from the
+    # run's end position.
+    run_end = jax.lax.cummin(jnp.where(tail, iota, n)[::-1])[::-1]
     end2 = jax.lax.cummin(jnp.where(tail, c2, n)[::-1])[::-1]
+    end1 = (run_end + 1) - end2
     cnt1_run = end1 - base1
     cnt2_run = end2 - base2
 

@@ -46,6 +46,12 @@ def _add_run_parser(sub):
         default=None,
         help="run on N virtual CPU devices (no TPU needed)",
     )
+    p.add_argument(
+        "--dtype",
+        choices=["int64", "uint64", "int32", "float64"],
+        default="int64",
+        help="element type (reference T modes + narrow int32, common.h:1-9)",
+    )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--metrics", action="store_true", help="print stage metrics JSON")
 
@@ -77,6 +83,7 @@ def _cmd_run(args) -> int:
         join_key2=args.join_key2,
         join_mode=args.join_mode,
         join_algorithm=args.join_algorithm,
+        dtype=args.dtype,
         checkpoint_dir=args.checkpoint_dir,
     )
     if args.distributed:
