@@ -101,6 +101,14 @@ class QueryPipeline:
             result = self._jitted(t1, t2)
             result = jax.block_until_ready(result)
             m.rows_out = int(result.num_rows)
+        # Inner joins report the TRUE match count in num_rows even past the
+        # output capacity (ops/join.py merge_join_inner); rows beyond the
+        # capacity were dropped, so surface that instead of silently
+        # truncating.
+        if m.rows_out > result.capacity:
+            from pim_sort_merge_join_tpu.engine.errors import JoinOverflowError
+
+            raise JoinOverflowError(m.rows_out, result.capacity)
         return result
 
     # -- end-to-end CSV path ----------------------------------------------
@@ -118,19 +126,10 @@ class QueryPipeline:
             rows2 = csv_io.load_csv_numpy(path2, dtype=np.int64)
             m.rows_in = rows1.shape[0] + rows2.shape[0]
         if np.dtype(dtype).itemsize < 8:
-            info = np.iinfo(np.dtype(dtype))
-            for path, rows in ((path1, rows1), (path2, rows2)):
-                if rows.size and (
-                    rows.max() > info.max or rows.min() < info.min
-                ):
-                    from pim_sort_merge_join_tpu.engine.errors import (
-                        MalformedInputError,
-                    )
+            from pim_sort_merge_join_tpu.utils.validate import check_dtype_range
 
-                    raise MalformedInputError(
-                        f"{path}: values exceed configured dtype "
-                        f"{self.config.dtype} range [{info.min}, {info.max}]"
-                    )
+            check_dtype_range(rows1, dtype, path1)
+            check_dtype_range(rows2, dtype, path2)
             rows1 = rows1.astype(dtype)
             rows2 = rows2.astype(dtype)
         with self.metrics.stage("host_to_device") as m:

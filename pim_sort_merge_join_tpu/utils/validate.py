@@ -21,6 +21,26 @@ class ValidationError(AssertionError):
     pass
 
 
+def check_dtype_range(rows: np.ndarray, dtype, name: str = "input") -> None:
+    """Raise MalformedInputError when values exceed a narrow dtype's range.
+
+    Shared by the single-chip CSV path and the distributed array path so a
+    narrowing cast (e.g. int64 data into an int32-configured engine) fails
+    loudly instead of wrapping.
+    """
+    dtype = np.dtype(dtype)
+    if dtype.itemsize >= 8 or not np.issubdtype(dtype, np.integer):
+        return
+    info = np.iinfo(dtype)
+    if rows.size and (rows.max() > info.max or rows.min() < info.min):
+        from pim_sort_merge_join_tpu.engine.errors import MalformedInputError
+
+        raise MalformedInputError(
+            f"{name}: values exceed configured dtype {dtype} range "
+            f"[{info.min}, {info.max}]"
+        )
+
+
 def check_table(table: Table, *, sorted_by: int | None = None) -> None:
     """Validate structural invariants of a Table (host-side, forces sync)."""
     n = int(jax.device_get(table.num_rows))

@@ -80,6 +80,63 @@ def test_exchange_overflow_raises():
     assert "exchange_slack" in str(ei.value)
 
 
+def test_inner_join_overflow_raises(dup_tables):
+    from pim_sort_merge_join_tpu.engine.errors import JoinOverflowError
+
+    r1, r2 = dup_tables  # heavy duplication -> cross product >> capacity
+    cfg = EngineConfig(
+        predicate1=Predicate(1, ">=", 0),
+        predicate2=Predicate(1, ">=", 0),
+        join_mode="inner",
+        join_slack=1.0,  # capacity = t1 capacity, far below the cross product
+    )
+    t1, t2 = Table.from_numpy(r1), Table.from_numpy(r2)
+    with pytest.raises(JoinOverflowError, match="join_slack"):
+        QueryPipeline(cfg).run_tables(t1, t2)
+
+
+def test_inner_join_overflow_raises_distributed(rng):
+    import jax
+    from jax.sharding import Mesh
+
+    from pim_sort_merge_join_tpu.engine.distributed import DistributedQueryPipeline
+    from pim_sort_merge_join_tpu.engine.errors import JoinOverflowError
+
+    # Two distinct keys, 100 copies each: per-key cross product is 100*100 =
+    # 10,000 rows, far beyond the per-shard output capacity, while the
+    # exchange itself (<=200 rows/shard) stays within slack.
+    keys = np.repeat([3, 9], 100)
+    r1 = np.column_stack([keys, rng.integers(0, 50, (200, 3))]).astype(np.int64)
+    r2 = np.column_stack([keys, rng.integers(0, 50, (200, 3))]).astype(np.int64)
+    cfg = EngineConfig(
+        predicate1=Predicate(1, ">=", 0),
+        predicate2=Predicate(1, ">=", 0),
+        join_mode="inner",
+        join_slack=1.0,
+        exchange_slack=2.5,
+        splitter_sample=128,
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]), ("p",))
+    pipe = DistributedQueryPipeline(cfg, mesh)
+    with pytest.raises(JoinOverflowError):
+        pipe.run_arrays(r1, r2)
+
+
+def test_distributed_dtype_range_validation():
+    import jax
+    from jax.sharding import Mesh
+
+    from pim_sort_merge_join_tpu.engine.distributed import DistributedQueryPipeline
+    from pim_sort_merge_join_tpu.engine.errors import MalformedInputError
+
+    rows = np.array([[2**40, 1, 2, 3], [5, 6, 7, 8]], dtype=np.int64)
+    cfg = EngineConfig(dtype="int32")
+    mesh = Mesh(np.array(jax.devices()[:2]), ("p",))
+    pipe = DistributedQueryPipeline(cfg, mesh)
+    with pytest.raises(MalformedInputError, match="int32"):
+        pipe.run_arrays(rows, rows.copy())
+
+
 def test_structured_logging(capsys):
     import io
 

@@ -24,6 +24,53 @@ def test_mix_bijective_small_domain():
     assert len(np.unique(np.asarray(mix64(xs64)))) == 100000
 
 
+def test_hash_column_distinct_floats_distinct_hashes():
+    """Value-cast hashing collided 1.2 and 1.5; bit-cast must not."""
+    import jax.numpy as jnp
+
+    keys = jnp.array([1.2, 1.5, -1.2, 0.0, -0.0, 2.0, 5000.5], dtype=jnp.float64)
+    hashed = np.asarray(hash_column(keys))
+    # -0.0 and 0.0 are equal keys and must hash equal; all else distinct.
+    assert hashed[3] == hashed[4]
+    distinct = np.delete(hashed, 4)
+    assert len(np.unique(distinct)) == len(distinct)
+
+
+def test_hash_join_float64_keys_matches_oracle(rng):
+    """Float keys through the hash path (VERDICT round 1, weak #1)."""
+    n = 300
+    k1 = rng.permutation(n).astype(np.float64) + 0.25
+    k2 = rng.permutation(n).astype(np.float64) + 0.25
+    # Fractional, distinct keys: a value cast would alias them all.
+    r1 = np.column_stack([k1, rng.random((n, 2))])
+    r2 = np.column_stack([k2, rng.random((n, 2))])
+    t1 = Table.from_numpy(r1, capacity=384, dtype=np.float64)
+    t2 = Table.from_numpy(r2, capacity=384, dtype=np.float64)
+    got = hash_join(t1, t2, 0, 0, mode="one_to_one").to_numpy()
+    s2 = r2[np.argsort(r2[:, 0], kind="stable")]
+    want_rows = []
+    for row in r1:
+        i = np.searchsorted(s2[:, 0], row[0])
+        if i < len(s2) and s2[i, 0] == row[0]:
+            want_rows.append(np.concatenate([row, s2[i, 1:]]))
+    want = np.stack(want_rows)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("agg", ["sum", "min", "max"])
+def test_hash_aggregate_float64(rng, agg):
+    keys = rng.integers(0, 15, size=200).astype(np.float64)
+    vals = rng.random(200) * 100
+    rows = np.column_stack([keys, vals])
+    t = Table.from_numpy(rows, capacity=256, dtype=np.float64)
+    got = hash_aggregate(t, 0, 1, agg).to_numpy()
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    want = getattr(df.groupby("k")["v"], agg)().reset_index().to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def test_hash_join_unique_keys_matches_sorted_join(small_tables):
     r1, r2 = small_tables
     t1 = Table.from_numpy(r1, capacity=256)
