@@ -176,9 +176,16 @@ def distributed_pipeline_core(
     def stage_join(d1, c1, d2, c2):
         a = _local_table(d1, c1, tuple(f"col{i+1}" for i in range(d1.shape[1])))
         b = _local_table(d2, c2, tuple(f"col{i+1}" for i in range(d2.shape[1])))
+        out_cap = None
+        if config.join_mode == "inner":
+            # join_slack sizes the per-shard output past the per-shard input
+            # capacity; `num_rows` still reports the TRUE match count, so the
+            # driver can detect overflow (ops/join.py merge_join_inner).
+            out_cap = -(-int(d1.shape[0] * config.join_slack) // 128) * 128
         out = join_ops.merge_join(
             a, b, config.join_key1, config.join_key2,
             mode=config.join_mode, presorted=not fused_local_join,
+            out_capacity=out_cap,
         )
         return out.data, out.num_rows.reshape(1)
 
@@ -359,7 +366,10 @@ class DistributedQueryPipeline:
             )
             m.bytes_moved = shuffled * row_bytes
         if check_overflow:
-            from pim_sort_merge_join_tpu.engine.errors import ExchangeOverflowError
+            from pim_sort_merge_join_tpu.engine.errors import (
+                ExchangeOverflowError,
+                JoinOverflowError,
+            )
 
             for name, true_key, got_key in (
                 ("table1", "exchange_true_rows1", "sorted_rows1"),
@@ -368,6 +378,12 @@ class DistributedQueryPipeline:
                 true = np.asarray(jax.device_get(diag[true_key]))
                 if (true > exchange_capacity).any():
                     raise ExchangeOverflowError(name, true, exchange_capacity)
+            # Inner joins report per-shard TRUE match counts; rows past the
+            # per-shard output capacity were dropped on device.
+            counts = np.asarray(jax.device_get(out.counts))
+            shard_out_cap = out.data.shape[0] // p
+            if (counts > shard_out_cap).any():
+                raise JoinOverflowError(int(counts.max()), shard_out_cap)
         return out
 
     def metrics_json(self) -> str:
@@ -414,6 +430,11 @@ class DistributedQueryPipeline:
     def run_arrays(self, rows1: np.ndarray, rows2: np.ndarray) -> ShardedTable:
         axis = self.config.mesh_axis
         dtype = self.config.jnp_dtype()
+        if np.dtype(dtype).itemsize < 8:
+            from pim_sort_merge_join_tpu.utils.validate import check_dtype_range
+
+            check_dtype_range(rows1, dtype, "table1")
+            check_dtype_range(rows2, dtype, "table2")
         with self.metrics.stage("host_to_device") as m:
             t1 = ShardedTable.from_numpy(rows1, self.mesh, axis, dtype=dtype)
             t2 = ShardedTable.from_numpy(rows2, self.mesh, axis, dtype=dtype)
