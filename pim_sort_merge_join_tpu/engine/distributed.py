@@ -10,14 +10,19 @@ after which every shard sorts and joins its own co-partitioned key range
 locally. The whole thing -- filter, sample, exchange, sort, join -- is a
 single jitted SPMD program; no host round-trips between stages.
 
-Output global order: partitions are ascending key ranges, each shard's join
-output follows its local key order, so concatenating shard outputs in shard
-order reproduces the single-chip (and reference) row order exactly for
-unique keys. With duplicate join keys the order among equal-key table-1 rows
-is (source shard, source position) rather than global insertion order --
+Output global order: with `partition_scheme="range"` (default), partitions
+are ascending key ranges, each shard's join output follows its local key
+order, so concatenating shard outputs in shard order reproduces the
+single-chip (and reference) row order exactly for unique keys. With
+duplicate join keys the order among equal-key table-1 rows is (source
+shard, source position) rather than global insertion order --
 deterministic, but it can differ from the single-chip order; SURVEY.md
 section 7 ("Multi-host determinism") tracks this as the documented tie-order
-caveat.
+caveat. With `partition_scheme="hash"` (BASELINE config 3) equal keys still
+co-locate but shard order does not follow key order: output is the same
+multiset of rows, deterministic, key-sorted WITHIN each shard; callers that
+need globally key-ordered output merge the shard streams at
+materialization.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ from pim_sort_merge_join_tpu.engine.metrics import MetricsCollector
 from pim_sort_merge_join_tpu.exchange.partition import (
     choose_splitters,
     destination_of,
+    hash_destination_of,
     sample_keys,
 )
 from pim_sort_merge_join_tpu.exchange.shuffle import all_to_all_exchange
@@ -158,7 +164,10 @@ def distributed_pipeline_core(
     def stage_exchange_sort(data, counts, splitters, key):
         t = _local_table(data, counts, ())
         keys = t.masked_keys(key)
-        dest = destination_of(keys, splitters.reshape(-1), t.valid_mask())
+        if config.partition_scheme == "hash":
+            dest = hash_destination_of(keys, num_partitions, t.valid_mask())
+        else:
+            dest = destination_of(keys, splitters.reshape(-1), t.valid_mask())
         ex = all_to_all_exchange(
             t.data,
             dest,
@@ -284,7 +293,12 @@ def distributed_aggregate_core(
 
         t_loc = _local_table(data, counts, ())
         keys = t_loc.masked_keys(key)
-        dest = destination_of(keys, splitters.reshape(-1), t_loc.valid_mask())
+        if config.partition_scheme == "hash":
+            dest = hash_destination_of(keys, num_partitions, t_loc.valid_mask())
+        else:
+            dest = destination_of(
+                keys, splitters.reshape(-1), t_loc.valid_mask()
+            )
         ex = all_to_all_exchange(
             t_loc.data,
             dest,

@@ -70,3 +70,21 @@ def destination_of(keys: jax.Array, splitters: jax.Array, valid: jax.Array) -> j
     num_partitions = splitters.shape[0] + 1
     d = jnp.searchsorted(splitters, keys, side="left").astype(jnp.int32)
     return jnp.where(valid, d, num_partitions)
+
+
+def hash_destination_of(
+    keys: jax.Array, num_partitions: int, valid: jax.Array
+) -> jax.Array:
+    """Hash-partitioned destination shard (BASELINE config 3).
+
+    ``mix(key) % P`` with the bijective finalizers from `ops/hash_join`:
+    equal keys co-locate (the join invariant) regardless of key
+    distribution, with no splitter sampling round. Unlike range
+    partitioning, shard order does NOT follow key order, so globally
+    ordered output requires a key-merge at materialization.
+    """
+    from pim_sort_merge_join_tpu.ops.hash_join import hash_column
+
+    h = hash_column(keys)
+    d = (h % jnp.asarray(num_partitions, h.dtype)).astype(jnp.int32)
+    return jnp.where(valid, d, num_partitions)

@@ -67,13 +67,20 @@ def _float_order_bits(keys: jax.Array) -> jax.Array:
     distinct ints and float order is preserved. -0.0 is normalized to +0.0
     first so the two zero encodings hash equal (they compare equal as keys).
     """
-    utype = jnp.uint32 if keys.dtype.itemsize <= 4 else jnp.uint64
-    itype = jnp.int32 if keys.dtype.itemsize <= 4 else jnp.int64
     keys = jnp.where(keys == 0, jnp.zeros_like(keys), keys)
-    bits = jax.lax.bitcast_convert_type(keys, itype)
-    sign_bit = itype(1) << itype(8 * keys.dtype.itemsize - 1)
-    flipped = jnp.where(bits < 0, ~bits, bits | sign_bit)
-    return jax.lax.bitcast_convert_type(flipped, utype)
+    if keys.dtype.itemsize <= 4:
+        bits = jax.lax.bitcast_convert_type(keys, jnp.int32)
+        flipped = jnp.where(
+            bits < 0, ~bits, bits | jnp.int32(-(2**31))
+        )
+        return jax.lax.bitcast_convert_type(flipped, jnp.uint32)
+    # 64-bit bitcasts are unsupported on the axon TPU client (it rewrites
+    # x64 into 32-bit pairs): bitcast f64 -> u32[..., 2] words instead and
+    # recombine with shifts.
+    w = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+    u = (w[..., 1].astype(jnp.uint64) << 32) | w[..., 0].astype(jnp.uint64)
+    sign = jnp.uint64(1) << 63
+    return jnp.where((u & sign) != 0, ~u, u | sign)
 
 
 def hash_column(keys: jax.Array) -> jax.Array:

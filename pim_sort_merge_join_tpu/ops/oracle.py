@@ -83,12 +83,19 @@ def pipeline_oracle(
     pred2=(0, ">", 5000),
     key1: int = 0,
     key2: int = 0,
+    mode: str = "one_to_one",
 ) -> np.ndarray:
-    """cpu_app.c main (:303-361): filter both, sort both, 1:1 join."""
+    """cpu_app.c main (:303-361): filter both, sort both, join.
+
+    ``mode="inner"`` swaps the reference's 1:1 cursor join for a standard
+    SQL inner join (cross product on duplicates).
+    """
     f1 = filter_oracle(rows1, *pred1)
     f2 = filter_oracle(rows2, *pred2)
     s1 = sort_oracle(f1, key1)
     s2 = sort_oracle(f2, key2)
+    if mode == "inner":
+        return join_inner_oracle(s1, s2, key1, key2)
     return join_one_to_one_oracle(s1, s2, key1, key2)
 
 

@@ -1,0 +1,679 @@
+"""HBM-scale multi-operand Pallas sort: chunk bitonic + merge-path merge passes.
+
+The production TPU replacement for the reference's whole sort stage
+(sort_dpu.c:157-187 per-tasklet insertion sort + :251-323 tasklet merge tree,
+then the host-driven pairwise DPU merge tree, app.c:408-547). Where the
+VMEM-resident kernel in `sort_kernel.py` caps at what fits on chip, this one
+sorts arrays of any size out of HBM with O(n log n) *sequential* traffic:
+
+  phase A  -- grid over VMEM-sized chunks; each chunk is bitonic-sorted on
+              the VPU (keys + payload planes move together, no gathers).
+              One HBM read + one HBM write of the whole array.
+  phase B  -- ceil(log2(n/C)) merge passes. Each pass pairs adjacent sorted
+              runs and merges them via *merge-path co-partitioning*: the
+              output is cut into T-element tiles, a vectorized binary search
+              (pure JAX, O(tiles * log L) work) finds for every tile the
+              exact A/B input windows whose stable merge fills it, and a
+              Pallas kernel DMAs those windows into VMEM, bitonic-merges
+              2T elements, and writes the tile. One read + one write of the
+              array per pass, all slices sequential.
+
+This is the same co-partitioning idea as the reference's stage-4 binary
+search split (app.c:585-633, merge_dpu.c:91-103), applied intra-chip.
+
+Data model: every operand is decomposed into 32-bit "planes" (int64 -> hi +
+lo words, floats -> order-preserving bit patterns), stacked as one
+[planes, rows, 128] int32 array. The sort key is operands[0]; a synthetic
+arange plane is appended as the final key plane, which (a) makes the sort
+stable, (b) makes every element unique so compare-exchange needs no equality
+path, and (c) keeps merge-path splits (computed with A-preference on key
+ties) exactly consistent with the in-kernel lexicographic order, because a
+left run's arange values are all smaller than its right partner's at every
+pass.
+
+Capacity: none (that is the point). VMEM use is bounded by construction:
+chunk and tile sizes shrink as the plane count grows.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_I32MAX = np.int32(np.iinfo(np.int32).max)
+_SIGN32 = np.int32(-(2**31))
+
+# VMEM working-set budget per kernel invocation (bytes). The chunk kernel
+# holds ~6 copies of a chunk (in + out double buffers + loop carries); the
+# merge kernel ~10 copies of a tile. 16 MiB VMEM per core minus headroom.
+_VMEM_BUDGET = 9 * 1024 * 1024
+
+
+def _pow2_floor(x: int) -> int:
+    return 1 << (int(x).bit_length() - 1)
+
+
+def choose_sizes(num_planes: int) -> tuple[int, int]:
+    """(chunk C, tile T) in elements for a given plane count."""
+    c = _pow2_floor(max(_VMEM_BUDGET // (24 * num_planes), 2 * _LANES))
+    t = _pow2_floor(max(_VMEM_BUDGET // (40 * num_planes), 2 * _LANES))
+    t = min(t, c)
+    return c, t
+
+
+# ---------------------------------------------------------------------------
+# Operand <-> int32 plane conversion
+# ---------------------------------------------------------------------------
+
+
+# NOTE: the axon TPU client rewrites 64-bit element types into 32-bit pairs
+# and cannot lower 64-bit `bitcast_convert_type`; all 64-bit decompositions
+# below therefore use shifts/converts (which the rewrite pass supports) and
+# bitcast only at 32-bit width.
+
+
+def _u32_to_i32(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _i32_to_u32(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _hi_lo_of_64(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(hi 32 bits as uint32, lo 32 bits as uint32) of an int64/uint64."""
+    hi = (x >> 32).astype(jnp.uint32)  # arithmetic shift keeps the bit hi word
+    lo = x.astype(jnp.uint32)  # converts mod 2^32: the low word
+    return hi, lo
+
+
+def _from_hi_lo_i64(hi_u: jax.Array, lo_u: jax.Array) -> jax.Array:
+    return (hi_u.astype(jnp.int64) << 32) | lo_u.astype(jnp.int64)
+
+
+def _float_monotone_u32(x: jax.Array) -> jax.Array:
+    """float32 -> uint32 with the same total order (sign-flip map).
+
+    NaNs sort above +inf (the engine never feeds NaNs)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = jnp.uint32(1) << 31
+    return jnp.where((u & sign) != 0, ~u, u | sign)
+
+
+def _float_from_monotone_u32(u: jax.Array) -> jax.Array:
+    sign = jnp.uint32(1) << 31
+    bits = jnp.where((u & sign) != 0, u & ~sign, ~u)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _f64_words(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(hi, lo) uint32 words of a float64's bit pattern, via 32-bit bitcast.
+
+    64-bit bitcasts are unsupported on this client; bitcasting f64 -> u32
+    yields a trailing [..., 2] axis of (lo, hi) little-endian words.
+    """
+    w = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return w[..., 1], w[..., 0]
+
+
+def _f64_from_words(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    w = jnp.stack([lo, hi], axis=-1)
+    return jax.lax.bitcast_convert_type(w, jnp.float64)
+
+
+_BIAS = jnp.uint32(0x80000000)
+
+
+def _decompose(x: jax.Array) -> tuple[list[jax.Array], tuple]:
+    """Operand -> int32 planes whose lexicographic SIGNED order equals the
+    operand's natural order. Returns (planes, recompose-tag)."""
+    dt = x.dtype
+    if dt == jnp.int32:
+        return [x], ("i32",)
+    if dt == jnp.uint32:
+        return [_u32_to_i32(x ^ _BIAS)], ("u32",)
+    if dt == jnp.float32:
+        return [_u32_to_i32(_float_monotone_u32(x) ^ _BIAS)], ("f32",)
+    if dt == jnp.int64:
+        hi, lo = _hi_lo_of_64(x)
+        # hi compares signed as-is; lo is unsigned -> bias into signed range.
+        return [_u32_to_i32(hi), _u32_to_i32(lo ^ _BIAS)], ("i64",)
+    if dt == jnp.uint64:
+        hi, lo = _hi_lo_of_64(x)
+        return [_u32_to_i32(hi ^ _BIAS), _u32_to_i32(lo ^ _BIAS)], ("u64",)
+    if dt == jnp.float64:
+        hi, lo = _f64_words(x)
+        sign = jnp.uint32(1) << 31
+        neg = (hi & sign) != 0
+        mhi = jnp.where(neg, ~hi, hi | sign)
+        mlo = jnp.where(neg, ~lo, lo)
+        return [_u32_to_i32(mhi ^ _BIAS), _u32_to_i32(mlo ^ _BIAS)], ("f64",)
+    raise NotImplementedError(f"hbm_sort: unsupported dtype {dt}")
+
+
+def _recompose(planes: list[jax.Array], tag: tuple) -> jax.Array:
+    kind = tag[0]
+    if kind == "i32":
+        return planes[0]
+    if kind == "u32":
+        return _i32_to_u32(planes[0]) ^ _BIAS
+    if kind == "f32":
+        return _float_from_monotone_u32(_i32_to_u32(planes[0]) ^ _BIAS)
+    if kind == "i64":
+        hi = _i32_to_u32(planes[0])
+        lo = _i32_to_u32(planes[1]) ^ _BIAS
+        return _from_hi_lo_i64(hi, lo)
+    if kind == "u64":
+        hi = _i32_to_u32(planes[0]) ^ _BIAS
+        lo = _i32_to_u32(planes[1]) ^ _BIAS
+        return (hi.astype(jnp.uint64) << 32) | lo.astype(jnp.uint64)
+    if kind == "f64":
+        mhi = _i32_to_u32(planes[0]) ^ _BIAS
+        mlo = _i32_to_u32(planes[1]) ^ _BIAS
+        sign = jnp.uint32(1) << 31
+        neg = (mhi & sign) == 0  # monotone-mapped negatives have sign bit 0
+        hi = jnp.where(neg, ~mhi, mhi & ~sign)
+        lo = jnp.where(neg, ~mlo, mlo)
+        return _f64_from_words(hi, lo)
+    raise AssertionError(kind)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers (shared by the chunk-sort and merge kernels)
+# ---------------------------------------------------------------------------
+
+
+def _lex_gt(a_planes, b_planes, nkeys: int):
+    """a > b over the first ``nkeys`` planes, lexicographic signed compare.
+
+    The final key plane (the synthetic arange) is unique, so the result is
+    never an undetermined tie.
+    """
+    gt = a_planes[nkeys - 1] > b_planes[nkeys - 1]
+    for a, b in zip(reversed(a_planes[: nkeys - 1]), reversed(b_planes[: nkeys - 1])):
+        gt = (a > b) | ((a == b) & gt)
+    return gt
+
+
+def _partner_dyn(x, j, is_lo, rows_c, lanes_c):
+    """Value at flat index (i ^ j) of a [rows, 128] plane; j traced."""
+
+    def lane_partner(v):
+        fwd = pltpu.roll(v, lanes_c - j, 1)
+        bwd = pltpu.roll(v, j, 1)
+        return jnp.where(is_lo, fwd, bwd)
+
+    def row_partner(v):
+        jr = j // lanes_c
+        fwd = pltpu.roll(v, rows_c - jr, 0)
+        bwd = pltpu.roll(v, jr, 0)
+        return jnp.where(is_lo, fwd, bwd)
+
+    return jax.lax.cond(j < lanes_c, lambda: lane_partner(x), lambda: row_partner(x))
+
+
+def _bit_clear_dyn(lane_ix, row_ix, bit, lanes_c):
+    """((flat index & bit) == 0) for a traced power-of-two ``bit``."""
+    masked = jnp.where(bit < lanes_c, lane_ix & bit, row_ix & (bit // lanes_c))
+    return masked == 0
+
+
+def _flip_flat(x):
+    """Reverse a [rows, 128] plane in flat order via static partner swaps.
+
+    out[i] = x[n-1-i]: XOR with (n-1) composes one roll-exchange per index
+    bit. Mosaic has no general reverse; each static-shift roll is a cheap
+    lane/sublane rotation.
+    """
+    rows, lanes = x.shape
+    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    row_ix = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    b = 1
+    while b < rows * lanes:
+        if b < lanes:
+            fwd = pltpu.roll(x, lanes - b, 1)
+            bwd = pltpu.roll(x, b, 1)
+            is_lo = (lane_ix & b) == 0
+        else:
+            br = b // lanes
+            fwd = pltpu.roll(x, rows - br, 0)
+            bwd = pltpu.roll(x, br, 0)
+            is_lo = (row_ix & br) == 0
+        x = jnp.where(is_lo, fwd, bwd)
+        b *= 2
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Phase A: chunk-local bitonic sort (grid over chunks, auto-pipelined)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_sort_kernel(in_ref, out_ref, *, chunk: int, nkeys: int):
+    nplanes, rows, lanes = in_ref.shape
+    lanes_c = jnp.int32(lanes)
+    rows_c = jnp.int32(rows)
+    n_c = jnp.int32(chunk)
+    one = jnp.int32(1)
+    two = jnp.int32(2)
+
+    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    row_ix = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+
+    def substep(carry):
+        k, j, planes = carry
+        is_lo = _bit_clear_dyn(lane_ix, row_ix, j, lanes_c)
+        up = _bit_clear_dyn(lane_ix, row_ix, k, lanes_c)
+        partners = tuple(
+            _partner_dyn(p, j, is_lo, rows_c, lanes_c) for p in planes
+        )
+        gt = _lex_gt(planes, partners, nkeys)
+        take = gt ^ is_lo ^ up
+        planes = tuple(jnp.where(take, q, p) for p, q in zip(planes, partners))
+        j2 = j // two
+        ended = j2 < one
+        k_next = jnp.where(ended, k * two, k)
+        j_next = jnp.where(ended, k, j2)
+        return (k_next, j_next, planes)
+
+    init = (two, one, tuple(in_ref[p] for p in range(nplanes)))
+    _, _, planes = jax.lax.while_loop(lambda c: c[0] <= n_c, substep, init)
+    for p in range(nplanes):
+        out_ref[p] = planes[p]
+
+
+def _chunk_sort(x: jax.Array, *, chunk: int, nkeys: int, out_rows: int, interpret: bool):
+    """Sort each C-element chunk of [P, rows, 128] planes; output has
+    ``out_rows`` rows (>= input rows; the tail is scratch for merge DMA)."""
+    nplanes, rows, lanes = x.shape
+    crows = chunk // lanes
+    nchunks = rows // crows
+    kernel = functools.partial(_chunk_sort_kernel, chunk=chunk, nkeys=nkeys)
+    return pl.pallas_call(
+        kernel,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (nplanes, crows, lanes),
+                lambda i: (i * 0, i, i * 0),  # i*0: i32 zero (x64 weak-type trap)
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (nplanes, crows, lanes), lambda i: (i * 0, i, i * 0),  # i*0: i32 zero (x64 weak-type trap) memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nplanes, out_rows, lanes), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x)
+
+
+# ---------------------------------------------------------------------------
+# Phase B: merge-path co-partitioned merge pass
+# ---------------------------------------------------------------------------
+
+
+def _pass_tiles(runs: list[tuple[int, int]], tile: int):
+    """Static tile table for one merge pass.
+
+    Returns (tiles, new_runs): tiles is a list of
+    (a_start, a_len_run, b_start, b_len_run, d0) element offsets; output
+    tile i covers global rows [i*T, (i+1)*T).
+    """
+    tiles = []
+    new_runs = []
+    i = 0
+    while i < len(runs):
+        if i + 1 < len(runs):
+            (sa, la), (sb, lb) = runs[i], runs[i + 1]
+            assert sb == sa + la
+            for t in range((la + lb) // tile):
+                tiles.append((sa, la, sb, lb, t * tile))
+            new_runs.append((sa, la + lb))
+            i += 2
+        else:
+            sa, la = runs[i]
+            for t in range(la // tile):
+                tiles.append((sa, la, sa + la, 0, t * tile))
+            new_runs.append((sa, la))
+            i += 1
+    return tiles, new_runs
+
+
+def _key_le(planes, nkeys_user: int, ai, bi):
+    """A[ai] <= B[bi] on the user key planes (A-preference on full ties)."""
+    le = None
+    for p in range(nkeys_user - 1, -1, -1):
+        pa = planes[p][ai // _LANES, ai % _LANES]
+        pb = planes[p][bi // _LANES, bi % _LANES]
+        if le is None:
+            le = pa <= pb
+        else:
+            le = (pa < pb) | ((pa == pb) & le)
+    return le
+
+
+def _merge_path_meta(x, tiles, tile: int, nkeys_user: int):
+    """Vectorized merge-path binary search -> per-tile DMA metadata.
+
+    Returns six int32 [ntiles] arrays:
+    (a_row0, a_off, a_len, b_row0, b_off, b_len).
+    """
+    sa = jnp.asarray([t[0] for t in tiles], jnp.int32)
+    la = jnp.asarray([t[1] for t in tiles], jnp.int32)
+    sb = jnp.asarray([t[2] for t in tiles], jnp.int32)
+    lb = jnp.asarray([t[3] for t in tiles], jnp.int32)
+    d0 = jnp.asarray([t[4] for t in tiles], jnp.int32)
+    max_l = max((t[1] for t in tiles), default=1)
+    iters = max(int(math.ceil(math.log2(max_l + 1))) + 1, 1)
+
+    planes = [x[p] for p in range(nkeys_user)]
+
+    lo = jnp.maximum(jnp.int32(0), d0 - lb)
+    hi = jnp.minimum(d0, la)
+
+    def step(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) // 2
+        # A[mid] <= B[d0 - mid - 1]  (indices valid within the search range)
+        cond = _key_le(planes, nkeys_user, sa + mid, sb + (d0 - mid - 1))
+        active = lo < hi
+        lo2 = jnp.where(active & cond, mid + 1, lo)
+        hi2 = jnp.where(active & ~cond, mid, hi)
+        return (lo2, hi2)
+
+    a0, _ = jax.lax.fori_loop(0, iters, step, (lo, hi))
+
+    # a_len: a-offset at the next diagonal. Tiles of one pair are adjacent,
+    # so the next tile's a0 is this tile's end; a pair's last tile ends at
+    # la. Detect pair-last statically.
+    is_last = jnp.asarray(
+        [
+            (i + 1 >= len(tiles))
+            or (tiles[i + 1][0] != t[0])
+            or (tiles[i + 1][4] == 0)
+            for i, t in enumerate(tiles)
+        ],
+        bool,
+    )
+    a_next = jnp.where(is_last, la, jnp.roll(a0, -1))
+    a_len = a_next - a0
+    b_off = d0 - a0
+    a_g = sa + a0
+    b_g = sb + b_off
+    return (
+        a_g // _LANES,
+        a_g % _LANES,
+        a_len,
+        b_g // _LANES,
+        b_g % _LANES,
+        jnp.int32(tile) - a_len,
+    )
+
+
+def _shift_mask(buf, off, length, trows: int, *, is_key: bool):
+    """Align a [W, 128] window to its element offset and sentinel-mask.
+
+    out flat f = buf flat (f + off) for f < trows*128; slots >= length get
+    INT32_MAX when ``is_key`` so they sort after every real element.
+    """
+    wrows, lanes = buf.shape
+    lanes_c = jnp.int32(lanes)
+    # off may be 0: keep the rotate amount in [0, lanes).
+    lr = pltpu.roll(buf, jax.lax.rem(lanes_c - off, lanes_c), 1)
+    ru = pltpu.roll(lr, jnp.int32(wrows - 1), 0)
+    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (wrows, lanes), 1)
+    z = jnp.where(lane_ix < lanes_c - off, lr, ru)[:trows]
+    if not is_key:
+        return z
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (trows, lanes), 0) * lanes
+        + jax.lax.broadcasted_iota(jnp.int32, (trows, lanes), 1)
+    )
+    return jnp.where(flat < length, z, _I32MAX)
+
+
+def _merge_kernel(
+    a_row0_ref,
+    a_off_ref,
+    a_len_ref,
+    b_row0_ref,
+    b_off_ref,
+    b_len_ref,
+    in_hbm,
+    out_ref,
+    abuf,
+    bbuf,
+    sems,
+    *,
+    nplanes: int,
+    trows: int,
+    wrows: int,
+    nkeys: int,
+    ntiles: int,
+    tile: int,
+):
+    i = pl.program_id(0)
+    two = jnp.int32(2)
+    slot = jax.lax.rem(i, two)
+    nxt = jax.lax.rem(i + jnp.int32(1), two)
+
+    def dma(idx, s):
+        # Indices pinned to i32: under x64 a Python-int index weak-types to
+        # i64, which tpu.memref_slice rejects.
+        return (
+            pltpu.make_async_copy(
+                in_hbm.at[:, pl.ds(a_row0_ref[idx], wrows), :],
+                abuf.at[s],
+                sems.at[s, jnp.int32(0)],
+            ),
+            pltpu.make_async_copy(
+                in_hbm.at[:, pl.ds(b_row0_ref[idx], wrows), :],
+                bbuf.at[s],
+                sems.at[s, jnp.int32(1)],
+            ),
+        )
+
+    zero = jnp.int32(0)
+
+    @pl.when(i == 0)
+    def _():
+        da, db = dma(zero, zero)
+        da.start()
+        db.start()
+
+    @pl.when(i + 1 < ntiles)
+    def _():
+        da, db = dma(i + 1, nxt)
+        da.start()
+        db.start()
+
+    da, db = dma(i, slot)
+    da.wait()
+    db.wait()
+
+    a_off = a_off_ref[i]
+    b_off = b_off_ref[i]
+    a_len = a_len_ref[i]
+    b_len = b_len_ref[i]
+
+    rows2 = 2 * trows
+    lanes_c = jnp.int32(_LANES)
+    rows_c = jnp.int32(rows2)
+    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 1)
+    row_ix = jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 0)
+
+    planes = []
+    for p in range(nplanes):
+        is_key = p < nkeys
+        at = _shift_mask(abuf[slot, p], a_off, a_len, trows, is_key=is_key)
+        bt = _shift_mask(bbuf[slot, p], b_off, b_len, trows, is_key=is_key)
+        # [A ascending; B reversed] is bitonic.
+        planes.append(jnp.concatenate([at, _flip_flat(bt)], axis=0))
+    planes = tuple(planes)
+
+    def substep(carry):
+        j, pls = carry
+        is_lo = _bit_clear_dyn(lane_ix, row_ix, j, lanes_c)
+        partners = tuple(
+            _partner_dyn(p, j, is_lo, rows_c, lanes_c) for p in pls
+        )
+        gt = _lex_gt(pls, partners, nkeys)
+        take = gt ^ is_lo ^ jnp.bool_(True)
+        pls = tuple(jnp.where(take, q, p) for p, q in zip(pls, partners))
+        return (j // jnp.int32(2), pls)
+
+    _, planes = jax.lax.while_loop(
+        lambda c: c[0] >= 1, substep, (jnp.int32(tile), planes)
+    )
+    for p in range(nplanes):
+        out_ref[p] = planes[p][:trows]
+
+
+def _merge_pass(
+    x: jax.Array,
+    meta: tuple,
+    *,
+    tile: int,
+    nkeys: int,
+    out_rows: int,
+    interpret: bool,
+):
+    nplanes, rows, lanes = x.shape
+    trows = tile // lanes
+    wrows = trows + 1
+    ntiles = int(meta[0].shape[0])
+    kernel = functools.partial(
+        _merge_kernel,
+        nplanes=nplanes,
+        trows=trows,
+        wrows=wrows,
+        nkeys=nkeys,
+        ntiles=ntiles,
+        tile=tile,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (nplanes, trows, lanes),
+            lambda i, *_: (i * 0, i, i * 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, nplanes, wrows, lanes), jnp.int32),
+            pltpu.VMEM((2, nplanes, wrows, lanes), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nplanes, out_rows, lanes), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*meta, x)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def hbm_sort(
+    operands: tuple[jax.Array, ...] | list[jax.Array],
+    *,
+    interpret: bool = False,
+    chunk: int | None = None,
+    tile: int | None = None,
+) -> tuple[jax.Array, ...]:
+    """Stable-sort 1D ``operands`` ascending by ``operands[0]``.
+
+    Drop-in for ``jax.lax.sort(ops, num_keys=1, is_stable=True)`` on int32 /
+    uint32 / int64 / uint64 / float32 / float64 operands of any common
+    length. NaN keys are unsupported (they sort above +inf).
+
+    ``chunk``/``tile`` override the VMEM sizing heuristics (powers of two,
+    tile <= chunk); used by tests to exercise multi-pass merging at small n.
+    """
+    operands = tuple(operands)
+    n = operands[0].shape[0]
+    if any(o.shape != (n,) for o in operands):
+        raise ValueError("hbm_sort operands must be 1D of equal length")
+    if n == 0:
+        return operands
+
+    planes: list[jax.Array] = []
+    tags = []
+    key_planes, key_tag = _decompose(operands[0])
+    planes.extend(key_planes)
+    tags.append((key_tag, len(key_planes)))
+    nkeys_user = len(key_planes)
+    # Synthetic arange plane: stability + uniqueness + merge consistency.
+    planes.append(jnp.arange(n, dtype=jnp.int32))
+    nkeys = nkeys_user + 1
+    for op in operands[1:]:
+        pl_, tag = _decompose(op)
+        planes.extend(pl_)
+        tags.append((tag, len(pl_)))
+
+    nplanes = len(planes)
+    auto_chunk, auto_tile = choose_sizes(nplanes)
+    chunk = auto_chunk if chunk is None else chunk
+    tile = auto_tile if tile is None else min(tile, chunk)
+    n2 = max(-(-n // chunk) * chunk, chunk)
+    if n2 != n:
+        padded = []
+        sent = _I32MAX
+        for p, plane in enumerate(planes):
+            fill = sent if p < nkeys else jnp.int32(0)
+            padded.append(
+                jnp.concatenate(
+                    [plane, jnp.full((n2 - n,), fill, jnp.int32)]
+                )
+            )
+        planes = padded
+
+    rows = n2 // _LANES
+    wrows = tile // _LANES + 1
+    out_rows = rows + wrows  # DMA scratch tail; contents unspecified
+    x = jnp.stack([p.reshape(rows, _LANES) for p in planes])
+
+    x = _chunk_sort(
+        x, chunk=chunk, nkeys=nkeys, out_rows=out_rows, interpret=interpret
+    )
+    runs = [(i * chunk, chunk) for i in range(n2 // chunk)]
+    while len(runs) > 1:
+        tiles, runs = _pass_tiles(runs, tile)
+        meta = _merge_path_meta(x, tiles, tile, nkeys_user)
+        x = _merge_pass(
+            x,
+            meta,
+            tile=tile,
+            nkeys=nkeys,
+            out_rows=out_rows,
+            interpret=interpret,
+        )
+
+    flat = x[:, : n2 // _LANES, :].reshape(nplanes, n2)[:, :n]
+    out = []
+    pi = 0
+    for ti, (tag, cnt) in enumerate(tags):
+        sub = [flat[pi + c] for c in range(cnt)]
+        out.append(_recompose(sub, tag))
+        pi += cnt
+        if ti == 0:
+            pi += 1  # skip the synthetic arange plane
+    return tuple(out)

@@ -164,3 +164,45 @@ def test_distributed_aggregate_matches_oracle(rng, agg):
     got = out.to_numpy()
     want = oracle.hash_aggregate_oracle(rows, 0, 1, agg)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["one_to_one", "inner"])
+def test_distributed_hash_partition_matches_oracle(rng, mode):
+    # BASELINE config 3: hash-partitioned shuffle. Equal keys co-locate via
+    # mix(key) % P; output is the oracle's multiset (shard order does not
+    # follow key order under hashing -- documented in engine/distributed.py).
+    from tests.conftest import make_reference_like_tables
+
+    r1, r2 = make_reference_like_tables(rng, 800)
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", 200),
+        predicate2=Predicate(0, ">", 200),
+        partition_scheme="hash",
+        join_mode=mode,
+        join_slack=2.0,
+        exchange_slack=4.0,
+        splitter_sample=64,
+    )
+    pipe = DistributedQueryPipeline(cfg, mesh8())
+    out = pipe.run_arrays(r1, r2).to_numpy()
+    want = oracle.pipeline_oracle(
+        r1, r2, pred1=(0, ">", 200), pred2=(0, ">", 200), mode=mode
+    )
+    assert out.shape == want.shape
+    np.testing.assert_array_equal(
+        out[np.lexsort(out.T[::-1])], want[np.lexsort(want.T[::-1])]
+    )
+
+
+def test_distributed_hash_partition_aggregate(rng):
+    keys = rng.integers(0, 64, size=600)
+    rows = np.column_stack([keys, rng.integers(1, 100, (600, 2))]).astype(np.int64)
+    cfg = EngineConfig(
+        partition_scheme="hash", exchange_slack=8.0, splitter_sample=64
+    )
+    pipe = DistributedQueryPipeline(cfg, mesh8())
+    t = ShardedTable.from_numpy(rows, pipe.mesh, "p")
+    out = pipe.run_aggregate(t, key=0, value=1, agg="sum").to_numpy()
+    want = oracle.hash_aggregate_oracle(rows, key=0, value=1, agg="sum")
+    got = out[np.argsort(out[:, 0])]
+    np.testing.assert_array_equal(got, want[np.argsort(want[:, 0])])
