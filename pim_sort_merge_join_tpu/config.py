@@ -78,9 +78,17 @@ class EngineConfig:
     exchange_slack: float = 2.0
     # Rows sampled per shard for range splitter selection.
     splitter_sample: int = 1024
-    # When a key exceeds this fraction of sampled rows it is treated as a
-    # heavy hitter and gets a dedicated partition (skew-aware repartitioning).
-    heavy_hitter_fraction: float = 0.5
+    # A key exceeding this fraction of the pooled sample is a heavy hitter:
+    # its rows are co-partitioned by global occurrence rank (exact for the
+    # 1:1 join semantics) instead of by key range; inner joins additionally
+    # broadcast table 2's heavy rows. None = auto (0.5 / P: any key worth
+    # half a shard's fair share); 1.0 disables skew handling.
+    # (exchange/skew.py)
+    heavy_hitter_fraction: float | None = None
+    # Per-shard row capacity of the broadcast buffer for table-2 heavy rows
+    # in inner-join mode; None = the exchange bucket capacity. Overflow is
+    # detected and raised, never silent.
+    heavy_gather_capacity: int | None = None
 
     # --- join output capacity, as a multiple of the probe-side capacity.
     join_slack: float = 1.0

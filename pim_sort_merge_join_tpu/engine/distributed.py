@@ -46,6 +46,7 @@ from pim_sort_merge_join_tpu.exchange.partition import (
     sample_keys,
 )
 from pim_sort_merge_join_tpu.exchange.shuffle import all_to_all_exchange
+from pim_sort_merge_join_tpu.exchange import skew
 from pim_sort_merge_join_tpu.ops import filter as filter_ops
 from pim_sort_merge_join_tpu.ops import join as join_ops
 from pim_sort_merge_join_tpu.ops import sort as sort_ops
@@ -160,14 +161,47 @@ def distributed_pipeline_core(
     fused_local_join = (
         config.join_mode == "one_to_one" and config.join_algorithm == "sort_merge"
     )
+    # Skew-aware repartitioning (exchange/skew.py): heavy keys detected from
+    # the pooled sample are rank-co-partitioned (both modes); inner mode
+    # additionally broadcasts table 2's heavy rows (cross products need
+    # every pair co-located, not just matching ranks).
+    heavy_frac = (
+        config.heavy_hitter_fraction
+        if config.heavy_hitter_fraction is not None
+        else 0.5 / num_partitions
+    )
+    k_heavy = skew.max_heavy_hitters(heavy_frac, num_partitions)
+    heavy_cap = (
+        config.heavy_gather_capacity
+        if config.heavy_gather_capacity is not None
+        else bucket_cap
+    )
+    broadcast_side2 = config.join_mode == "inner"
 
-    def stage_exchange_sort(data, counts, splitters, key):
+    def stage_exchange_sort(data, counts, splitters, heavy_keys, key, side):
         t = _local_table(data, counts, ())
         keys = t.masked_keys(key)
         if config.partition_scheme == "hash":
             dest = hash_destination_of(keys, num_partitions, t.valid_mask())
         else:
             dest = destination_of(keys, splitters.reshape(-1), t.valid_mask())
+        heavy_true = jnp.int32(0)
+        g_rows = g_valid = None
+        if heavy_keys is not None:
+            is_heavy, slot = skew.heavy_slot_of(
+                keys, heavy_keys.reshape(-1), t.valid_mask()
+            )
+            if side == 2 and broadcast_side2:
+                # Exclude from the exchange; broadcast instead.
+                dest = jnp.where(is_heavy, jnp.int32(num_partitions), dest)
+                g_rows, g_valid, heavy_true = skew.gather_heavy_side(
+                    t.data, is_heavy, axis, capacity=heavy_cap
+                )
+            else:
+                dest_h = skew.heavy_rank_destination(
+                    is_heavy, slot, k_heavy, axis
+                )
+                dest = jnp.where(is_heavy, dest_h, dest)
         ex = all_to_all_exchange(
             t.data,
             dest,
@@ -175,12 +209,41 @@ def distributed_pipeline_core(
             bucket_capacity=bucket_cap,
             recv_capacity=exchange_capacity,
         )
-        local = Table(data=ex.data, num_rows=ex.num_rows, names=())
-        if not fused_local_join:
-            local = sort_ops.sort_by_key(
-                local, key, algorithm=config.sort_algorithm
+        if g_rows is not None:
+            # Append the broadcast heavy rows and key-sort the union into a
+            # valid-prefix table (one stable multi-operand sort; rows ride).
+            sent = key_sentinel(ex.data.dtype)
+            k_ex = jnp.where(
+                jnp.arange(exchange_capacity, dtype=jnp.int32) < ex.num_rows,
+                ex.data[:, key],
+                sent,
             )
-        return local.data, local.num_rows.reshape(1), ex.true_rows.reshape(1)
+            k_hv = jnp.where(g_valid, g_rows[:, key], sent)
+            union = jnp.concatenate([ex.data, g_rows], axis=0)
+            ks = jnp.concatenate([k_ex, k_hv])
+            ops = jax.lax.sort(
+                (ks,) + tuple(union[:, c] for c in range(union.shape[1])),
+                num_keys=1,
+                is_stable=True,
+            )
+            local = Table(
+                data=jnp.stack(ops[1:], axis=1),
+                num_rows=ex.num_rows
+                + jnp.sum(g_valid, dtype=jnp.int32),
+                names=(),
+            )
+        else:
+            local = Table(data=ex.data, num_rows=ex.num_rows, names=())
+            if not fused_local_join:
+                local = sort_ops.sort_by_key(
+                    local, key, algorithm=config.sort_algorithm
+                )
+        return (
+            local.data,
+            local.num_rows.reshape(1),
+            ex.true_rows.reshape(1),
+            heavy_true.reshape(1),
+        )
 
     def stage_join(d1, c1, d2, c2):
         a = _local_table(d1, c1, tuple(f"col{i+1}" for i in range(d1.shape[1])))
@@ -220,26 +283,52 @@ def distributed_pipeline_core(
 
     # --- stage 2: global splitters from the pooled sample -----------------
     pooled = jnp.concatenate([smp1.reshape(-1), smp2.reshape(-1)])
-    splitters = choose_splitters(pooled, num_partitions)
+    if k_heavy > 0:
+        heavy_keys = skew.detect_heavy_hitters(
+            pooled, heavy_frac, k_heavy
+        )
+        # Range splitters balance the REMAINING rows; heavy rows are routed
+        # by rank, not range.
+        splitters = choose_splitters(
+            skew.mask_heavy_samples(pooled, heavy_keys), num_partitions
+        )
+    else:
+        heavy_keys = None
+        splitters = choose_splitters(pooled, num_partitions)
 
     # --- stage 3: range exchange + local sort (both tables) ---------------
     # The two tables' stages are independent: one fused shard_map region
     # lets XLA's latency-hiding scheduler overlap table 2's all_to_all with
     # table 1's local sort (the DPU_XFER_ASYNC/dpu_callback analog,
     # dpu.h:72-82 -- here the compiler schedules the overlap).
-    def stage_exchange_sort_both(d1, c1, d2, c2, spl):
-        s1d, s1c, t1r = stage_exchange_sort(d1, c1, spl, key=config.join_key1)
-        s2d, s2c, t2r = stage_exchange_sort(d2, c2, spl, key=config.join_key2)
-        return s1d, s1c, t1r, s2d, s2c, t2r
+    def stage_exchange_sort_both(d1, c1, d2, c2, spl, hvy):
+        s1d, s1c, t1r, h1 = stage_exchange_sort(
+            d1, c1, spl, hvy, key=config.join_key1, side=1
+        )
+        s2d, s2c, t2r, h2 = stage_exchange_sort(
+            d2, c2, spl, hvy, key=config.join_key2, side=2
+        )
+        return s1d, s1c, t1r, h1, s2d, s2c, t2r, h2
 
-    s1_data, s1_counts, true1, s2_data, s2_counts, true2 = shmap(
-        stage_exchange_sort_both,
-        in_specs=(P(axis, None), P(axis), P(axis, None), P(axis), P()),
+    hvy_arg = (
+        heavy_keys.reshape(1, -1) if heavy_keys is not None else None
+    )
+    args = (f1_data, f1_counts, f2_data, f2_counts, splitters)
+    in_specs = [P(axis, None), P(axis), P(axis, None), P(axis), P()]
+    if hvy_arg is not None:
+        args = args + (hvy_arg,)
+        in_specs.append(P())
+        fn = stage_exchange_sort_both
+    else:
+        fn = functools.partial(stage_exchange_sort_both, hvy=None)
+    s1_data, s1_counts, true1, htrue1, s2_data, s2_counts, true2, htrue2 = shmap(
+        fn,
+        in_specs=tuple(in_specs),
         out_specs=(
-            P(axis, None), P(axis), P(axis),
-            P(axis, None), P(axis), P(axis),
+            P(axis, None), P(axis), P(axis), P(axis),
+            P(axis, None), P(axis), P(axis), P(axis),
         ),
-    )(f1_data, f1_counts, f2_data, f2_counts, splitters)
+    )(*args)
 
     # --- stage 4: co-partitioned local join -------------------------------
     out_data, out_counts = shmap(
@@ -254,6 +343,9 @@ def distributed_pipeline_core(
     diagnostics = {
         "exchange_true_rows1": true1,
         "exchange_true_rows2": true2,
+        "heavy_true_rows1": htrue1,
+        "heavy_true_rows2": htrue2,
+        "heavy_gather_capacity": heavy_cap,
         "sorted_rows1": s1_counts,
         "sorted_rows2": s2_counts,
     }
@@ -392,6 +484,13 @@ class DistributedQueryPipeline:
                 true = np.asarray(jax.device_get(diag[true_key]))
                 if (true > exchange_capacity).any():
                     raise ExchangeOverflowError(name, true, exchange_capacity)
+            hcap = int(diag["heavy_gather_capacity"])
+            for name in ("heavy_true_rows1", "heavy_true_rows2"):
+                true = np.asarray(jax.device_get(diag[name]))
+                if (true > hcap).any():
+                    raise ExchangeOverflowError(
+                        f"{name} (broadcast side)", true, hcap
+                    )
             # Inner joins report per-shard TRUE match counts; rows past the
             # per-shard output capacity were dropped on device.
             counts = np.asarray(jax.device_get(out.counts))

@@ -238,13 +238,13 @@ def _flip_flat(x):
     b = 1
     while b < rows * lanes:
         if b < lanes:
-            fwd = pltpu.roll(x, lanes - b, 1)
-            bwd = pltpu.roll(x, b, 1)
+            fwd = pltpu.roll(x, jnp.int32(lanes - b), 1)
+            bwd = pltpu.roll(x, jnp.int32(b), 1)
             is_lo = (lane_ix & b) == 0
         else:
             br = b // lanes
-            fwd = pltpu.roll(x, rows - br, 0)
-            bwd = pltpu.roll(x, br, 0)
+            fwd = pltpu.roll(x, jnp.int32(rows - br), 0)
+            bwd = pltpu.roll(x, jnp.int32(br), 0)
             is_lo = (row_ix & br) == 0
         x = jnp.where(is_lo, fwd, bwd)
         b *= 2

@@ -126,6 +126,9 @@ def test_distributed_duplicate_keys(rng):
         predicate2=Predicate(1, ">=", 0),
         splitter_sample=64,
         exchange_slack=16.0,  # 15 distinct keys over 8 shards: heavy skew
+        heavy_hitter_fraction=1.0,  # keep keys range-routed: this test pins
+        # the global key-order contract; rank-spreading (tested in
+        # test_skew_*) trades that order away by design
     )
     pipe = DistributedQueryPipeline(cfg, mesh8())
     out = pipe.run_arrays(r1, r2).to_numpy()
@@ -206,3 +209,78 @@ def test_distributed_hash_partition_aggregate(rng):
     want = oracle.hash_aggregate_oracle(rows, key=0, value=1, agg="sum")
     got = out[np.argsort(out[:, 0])]
     np.testing.assert_array_equal(got, want[np.argsort(want[:, 0])])
+
+
+def _skewed_tables(rng, n1=600, n2=600, hot=7, hot_frac=0.7):
+    """Tables where one key holds ``hot_frac`` of all rows (Zipf-like)."""
+    nh1, nh2 = int(n1 * hot_frac), int(n2 * hot_frac)
+    k1 = np.concatenate([np.full(nh1, hot), rng.integers(100, 10_000, n1 - nh1)])
+    k2 = np.concatenate([np.full(nh2, hot), rng.integers(100, 10_000, n2 - nh2)])
+    r1 = np.column_stack([k1, rng.integers(0, 100, (n1, 3))]).astype(np.int64)
+    r2 = np.column_stack([k2, rng.integers(0, 100, (n2, 3))]).astype(np.int64)
+    return rng.permutation(r1), rng.permutation(r2)
+
+
+def test_skew_heavy_hitter_one_to_one(rng):
+    # A 70%-hot key would overflow any single shard at slack 1.3; rank
+    # co-partitioning (exchange/skew.py) spreads it across all 8 shards and
+    # preserves the reference's k-th-pairs-k-th 1:1 semantics exactly.
+    r1, r2 = _skewed_tables(rng)
+    cfg = EngineConfig(
+        predicate1=Predicate(1, ">=", 0),
+        predicate2=Predicate(1, ">=", 0),
+        exchange_slack=1.3,
+        splitter_sample=256,
+        heavy_hitter_fraction=0.2,
+    )
+    pipe = DistributedQueryPipeline(cfg, mesh8())
+    out = pipe.run_arrays(r1, r2).to_numpy()
+    want = oracle.pipeline_oracle(r1, r2, pred1=(1, ">=", 0), pred2=(1, ">=", 0))
+    assert out.shape == want.shape
+    np.testing.assert_array_equal(
+        out[np.lexsort(out.T[::-1])], want[np.lexsort(want.T[::-1])]
+    )
+
+
+def test_skew_disabled_raises(rng):
+    from pim_sort_merge_join_tpu.engine.errors import ExchangeOverflowError
+
+    r1, r2 = _skewed_tables(rng)
+    cfg = EngineConfig(
+        predicate1=Predicate(1, ">=", 0),
+        predicate2=Predicate(1, ">=", 0),
+        exchange_slack=1.3,
+        splitter_sample=256,
+        heavy_hitter_fraction=1.0,  # skew handling off
+    )
+    pipe = DistributedQueryPipeline(cfg, mesh8())
+    with pytest.raises(ExchangeOverflowError):
+        pipe.run_arrays(r1, r2)
+
+
+def test_skew_heavy_hitter_inner_broadcast(rng):
+    # Inner-join skew: table 1 hot on one key, table 2 has a handful of
+    # rows for it -- the broadcast-side path replicates those to all shards.
+    n1 = 600
+    k1 = np.concatenate([np.full(400, 7), rng.integers(100, 10_000, n1 - 400)])
+    r1 = np.column_stack([k1, rng.integers(0, 100, (n1, 3))]).astype(np.int64)
+    k2 = np.concatenate([np.full(5, 7), rng.integers(100, 10_000, 295)])
+    r2 = np.column_stack([k2, rng.integers(0, 100, (300, 3))]).astype(np.int64)
+    cfg = EngineConfig(
+        predicate1=Predicate(1, ">=", 0),
+        predicate2=Predicate(1, ">=", 0),
+        join_mode="inner",
+        join_slack=30.0,  # 400*5 cross-product rows land on 8 shards
+        exchange_slack=1.5,
+        splitter_sample=256,
+        heavy_hitter_fraction=0.2,
+    )
+    pipe = DistributedQueryPipeline(cfg, mesh8())
+    out = pipe.run_arrays(np.asarray(r1), r2).to_numpy()
+    want = oracle.pipeline_oracle(
+        r1, r2, pred1=(1, ">=", 0), pred2=(1, ">=", 0), mode="inner"
+    )
+    assert out.shape == want.shape
+    np.testing.assert_array_equal(
+        out[np.lexsort(out.T[::-1])], want[np.lexsort(want.T[::-1])]
+    )

@@ -72,6 +72,7 @@ def test_exchange_overflow_raises():
         predicate2=Predicate(1, ">=", 0),
         exchange_slack=1.0,
         splitter_sample=32,
+        heavy_hitter_fraction=1.0,  # skew handling off: exercise the error path
     )
     mesh = Mesh(np.array(jax.devices()[:8]), ("p",))
     pipe = DistributedQueryPipeline(cfg, mesh)
@@ -115,6 +116,8 @@ def test_inner_join_overflow_raises_distributed(rng):
         join_slack=1.0,
         exchange_slack=2.5,
         splitter_sample=128,
+        heavy_hitter_fraction=1.0,  # keep both keys range-routed: the point
+        # is the JOIN capacity check, not skew spreading
     )
     mesh = Mesh(np.array(jax.devices()[:2]), ("p",))
     pipe = DistributedQueryPipeline(cfg, mesh)
