@@ -50,18 +50,12 @@ def _load_native(path: str, dtype) -> np.ndarray | None:
     return arr.astype(np.dtype(dtype), copy=False)
 
 
-def _load_numpy(path: str, dtype) -> np.ndarray:
-    """Bulk parse: read whole file, split once, reshape.
+def _parse_body(body: bytes, ncol: int, dtype, path: str) -> np.ndarray:
+    """Bulk parse CSV body bytes: split once, reshape.
 
     Integer-only fast path matching the reference's `atoi` semantics
     (app.c:80 -- every field parsed as an integer even for wider `T`).
     """
-    with open(path, "rb") as f:
-        raw = f.read()
-    nl = raw.index(b"\n")
-    header = raw[:nl]
-    ncol = header.count(b",") + 1
-    body = raw[nl + 1 :]
     if not body:
         return np.zeros((0, ncol), dtype=np.dtype(dtype))
     fields = body.replace(b"\r", b"").replace(b"\n", b",").rstrip(b",").split(b",")
@@ -72,6 +66,65 @@ def _load_numpy(path: str, dtype) -> np.ndarray:
             f"the {ncol}-column header (ragged row?)"
         )
     return arr.reshape(-1, ncol).astype(np.dtype(dtype), copy=False)
+
+
+def _load_numpy(path: str, dtype) -> np.ndarray:
+    with open(path, "rb") as f:
+        raw = f.read()
+    nl = raw.index(b"\n")
+    ncol = raw[:nl].count(b",") + 1
+    return _parse_body(raw[nl + 1 :], ncol, dtype, path)
+
+
+def _snap_to_line_start(f, pos: int, data_start: int, size: int) -> int:
+    """First line-start byte offset at or after ``pos``."""
+    if pos <= data_start:
+        return data_start
+    if pos >= size:
+        return size
+    f.seek(pos - 1)
+    if f.read(1) == b"\n":
+        return pos  # pos already begins a line
+    scanned = 0
+    while True:
+        chunk = f.read(1 << 16)
+        if not chunk:
+            return size
+        i = chunk.find(b"\n")
+        if i >= 0:
+            return pos + scanned + i + 1
+        scanned += len(chunk)
+
+
+def load_csv_shard(
+    path: str, shard: int, num_shards: int, dtype=np.int64
+) -> np.ndarray:
+    """Parse only this shard's byte range of a CSV (scale-out ingest).
+
+    The data region after the header is cut into ``num_shards`` byte spans
+    snapped forward to line boundaries; every line belongs to exactly one
+    shard and the concatenation over shards equals `load_csv_numpy`. Each
+    multi-host process reads and parses ONLY its span -- the whole-file
+    parse never happens anywhere (the reference loads the entire CSV on the
+    one host, app.c:59-92; this is the pod-scale replacement).
+    """
+    if not (0 <= shard < num_shards):
+        raise ValueError(f"shard {shard} out of range [0, {num_shards})")
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        header = f.readline()
+        ncol = header.count(b",") + 1
+        data_start = f.tell()
+        span = size - data_start
+        lo = _snap_to_line_start(
+            f, data_start + (span * shard) // num_shards, data_start, size
+        )
+        hi = _snap_to_line_start(
+            f, data_start + (span * (shard + 1)) // num_shards, data_start, size
+        )
+        f.seek(lo)
+        body = f.read(hi - lo)
+    return _parse_body(body, ncol, dtype, path)
 
 
 def load_csv_numpy(path: str, dtype=np.int64) -> np.ndarray:

@@ -106,22 +106,107 @@ class ShardedTable:
             ]
             counts[i] = n_i
             start += n_i
-        data = jax.device_put(
-            jnp.asarray(buf, dtype=dtype), NamedSharding(mesh, P(axis, None))
+        # make_array_from_callback works identically for single-process and
+        # multi-process meshes (device_put cannot target non-addressable
+        # shards); every process must hold the same ``array``.
+        buf = jnp.asarray(buf, dtype=dtype)
+        counts_j = jnp.asarray(counts)
+        data = jax.make_array_from_callback(
+            buf.shape, NamedSharding(mesh, P(axis, None)), lambda i: buf[i]
         )
-        cnt = jax.device_put(jnp.asarray(counts), NamedSharding(mesh, P(axis)))
+        cnt = jax.make_array_from_callback(
+            counts_j.shape, NamedSharding(mesh, P(axis)), lambda i: counts_j[i]
+        )
         return cls(data=data, counts=cnt, names=tuple(names))
 
+    @classmethod
+    def from_process_local(
+        cls,
+        array: np.ndarray,
+        mesh: Mesh,
+        axis: str,
+        *,
+        names: Sequence[str] | None = None,
+        dtype=jnp.int64,
+    ) -> "ShardedTable":
+        """Build a global sharded table from PER-PROCESS row blocks.
+
+        Each process contributes only the rows it holds (e.g. its byte range
+        of the CSV, csv_io.load_csv_shard); no process ever materializes the
+        global table. The global row order is (process, local order). A
+        collective: every process in the mesh must call this.
+        """
+        from jax.experimental import multihost_utils
+
+        nrow, ncol = array.shape
+        if names is None:
+            names = tuple(f"col{i + 1}" for i in range(ncol))
+        local_devs = [d for d in mesh.devices.ravel() if d.process_index == jax.process_index()]
+        n_local = len(local_devs)
+        # Agree on one per-device capacity across processes.
+        all_rows = multihost_utils.process_allgather(
+            np.array([nrow], dtype=np.int64)
+        ).ravel()
+        shard_capacity = int(max(-(-int(r) // n_local) for r in all_rows))
+        shard_capacity = max(shard_capacity, 1)
+        buf = np.zeros((n_local * shard_capacity, ncol), dtype=np.dtype(dtype))
+        counts = np.zeros((n_local,), dtype=np.int32)
+        base, rem = nrow // n_local, nrow % n_local
+        start = 0
+        for i in range(n_local):
+            n_i = base + (1 if i < rem else 0)
+            buf[i * shard_capacity : i * shard_capacity + n_i] = array[
+                start : start + n_i
+            ]
+            counts[i] = n_i
+            start += n_i
+        data = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axis, None)), buf
+        )
+        cnt = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axis)), counts
+        )
+        return cls(data=data, counts=cnt, names=tuple(names))
+
+    def _host_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        data, counts = self.data, self.counts
+        if not data.is_fully_addressable:
+            # Replicate across processes (an all_gather), then read the
+            # local replica. A collective: every process must call this.
+            mesh = data.sharding.mesh
+            rep = NamedSharding(mesh, P())
+            data, counts = jax.jit(
+                lambda d, c: (d, c), out_shardings=(rep, rep)
+            )(data, counts)
+        return (
+            np.asarray(jax.device_get(data)),
+            np.asarray(jax.device_get(counts)),
+        )
+
     def to_numpy(self) -> np.ndarray:
-        """Gather valid rows of all shards, in shard order."""
+        """Gather valid rows of all shards, in shard order.
+
+        Multi-process safe (replicates first); collective in that case.
+        """
         p = self.counts.shape[0]
         shard_cap = self.data.shape[0] // p
-        data = np.asarray(jax.device_get(self.data))
-        counts = np.asarray(jax.device_get(self.counts))
+        data, counts = self._host_arrays()
         parts = [
             data[i * shard_cap : i * shard_cap + counts[i]] for i in range(p)
         ]
         return np.concatenate(parts, axis=0) if parts else data[:0]
+
+
+def _host_diag(x) -> np.ndarray:
+    """Device->host for a (possibly process-sharded) diagnostic array.
+
+    Replicates across processes first when needed; a collective then --
+    every process of the mesh must reach the same check.
+    """
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        mesh = x.sharding.mesh
+        x = jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(jax.device_get(x))
 
 
 # ---------------------------------------------------------------------------
@@ -481,19 +566,19 @@ class DistributedQueryPipeline:
                 ("table1", "exchange_true_rows1", "sorted_rows1"),
                 ("table2", "exchange_true_rows2", "sorted_rows2"),
             ):
-                true = np.asarray(jax.device_get(diag[true_key]))
+                true = _host_diag(diag[true_key])
                 if (true > exchange_capacity).any():
                     raise ExchangeOverflowError(name, true, exchange_capacity)
             hcap = int(diag["heavy_gather_capacity"])
             for name in ("heavy_true_rows1", "heavy_true_rows2"):
-                true = np.asarray(jax.device_get(diag[name]))
+                true = _host_diag(diag[name])
                 if (true > hcap).any():
                     raise ExchangeOverflowError(
                         f"{name} (broadcast side)", true, hcap
                     )
             # Inner joins report per-shard TRUE match counts; rows past the
             # per-shard output capacity were dropped on device.
-            counts = np.asarray(jax.device_get(out.counts))
+            counts = _host_diag(out.counts)
             shard_out_cap = out.data.shape[0] // p
             if (counts > shard_out_cap).any():
                 raise JoinOverflowError(int(counts.max()), shard_out_cap)
@@ -535,7 +620,7 @@ class DistributedQueryPipeline:
         if check_overflow:
             from pim_sort_merge_join_tpu.engine.errors import ExchangeOverflowError
 
-            true = np.asarray(jax.device_get(diag["exchange_true_rows"]))
+            true = _host_diag(diag["exchange_true_rows"])
             if (true > exchange_capacity).any():
                 raise ExchangeOverflowError("aggregate", true, exchange_capacity)
         return out

@@ -24,11 +24,24 @@ import sys
 
 
 def initialize_multihost(
-    coordinator: str | None, num_processes: int | None, process_id: int | None
+    coordinator: str | None,
+    num_processes: int | None,
+    process_id: int | None,
+    cpu_devices: int | None = None,
 ) -> None:
-    """Join the global JAX runtime. No-ops for single-process runs."""
+    """Join the global JAX runtime. No-ops for single-process runs.
+
+    ``cpu_devices`` forces the CPU backend with N local virtual devices --
+    the multi-PROCESS simulator configuration (reference S3 analog): N
+    processes x M virtual devices exercise real process boundaries, Gloo
+    collectives, and the process-0-writes contract without TPU hardware.
+    """
     import jax
 
+    if cpu_devices:
+        from pim_sort_merge_join_tpu.runner.simulator import use_simulator
+
+        use_simulator(cpu_devices)
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(
@@ -44,24 +57,34 @@ def run_query(args) -> int:
 
     from pim_sort_merge_join_tpu.columnar import csv_io
     from pim_sort_merge_join_tpu.config import EngineConfig, Predicate
-    from pim_sort_merge_join_tpu.engine.distributed import DistributedQueryPipeline
+    from pim_sort_merge_join_tpu.engine.distributed import (
+        DistributedQueryPipeline,
+        ShardedTable,
+    )
 
     config = EngineConfig(
         predicate1=Predicate(args.select_col1, ">", args.select_val1),
         predicate2=Predicate(args.select_col2, ">", args.select_val2),
         join_key1=args.join_key1,
         join_key2=args.join_key2,
+        exchange_slack=args.exchange_slack,
     )
     pipe = DistributedQueryPipeline(config)
 
-    # Every process loads the full CSVs (simple + correct; a per-host
-    # sharded reader is the known follow-up for >memory inputs).
-    rows1 = csv_io.load_csv_numpy(args.table1)
-    rows2 = csv_io.load_csv_numpy(args.table2)
-    out = pipe.run_arrays(rows1, rows2)
+    # Scale-out ingest: each process parses ONLY its byte range of the
+    # CSVs (csv_io.load_csv_shard) and contributes its rows in place --
+    # the global table never materializes on any single host.
+    pid, nproc = jax.process_index(), jax.process_count()
+    rows1 = csv_io.load_csv_shard(args.table1, pid, nproc)
+    rows2 = csv_io.load_csv_shard(args.table2, pid, nproc)
+    t1 = ShardedTable.from_process_local(rows1, pipe.mesh, config.mesh_axis)
+    t2 = ShardedTable.from_process_local(rows2, pipe.mesh, config.mesh_axis)
+    out = pipe.run_tables(t1, t2)
 
+    # to_numpy replicates across processes (a collective): every process
+    # participates, process 0 writes.
+    result = out.to_numpy()
     if jax.process_index() == 0:
-        result = out.to_numpy()
         csv_io.write_csv(args.output, result)
         print(f"wrote {result.shape[0]} rows to {args.output}", file=sys.stderr)
         print(pipe.metrics_json())
@@ -76,6 +99,14 @@ def main(argv=None) -> int:
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument(
+        "--cpu-devices",
+        type=int,
+        default=None,
+        help="force CPU backend with N virtual devices per process "
+        "(multi-process simulator mode)",
+    )
+    ap.add_argument("--exchange-slack", type=float, default=2.0)
     ap.add_argument("--select-col1", type=int, default=0)
     ap.add_argument("--select-val1", type=int, default=5000)
     ap.add_argument("--select-col2", type=int, default=0)
@@ -83,7 +114,9 @@ def main(argv=None) -> int:
     ap.add_argument("--join-key1", type=int, default=0)
     ap.add_argument("--join-key2", type=int, default=0)
     args = ap.parse_args(argv)
-    initialize_multihost(args.coordinator, args.num_processes, args.process_id)
+    initialize_multihost(
+        args.coordinator, args.num_processes, args.process_id, args.cpu_devices
+    )
     return run_query(args)
 
 

@@ -1,0 +1,129 @@
+"""Multi-process multi-host emulation tests (SURVEY.md section 4).
+
+The reference's only multi-device story is N simulated DPUs in ONE process
+(libdpufsim); the in-process 8-device mesh in conftest reproduces that. This
+module goes further: N real OS processes joined by `jax.distributed`
+(Gloo-backed CPU collectives), exercising process boundaries, cross-process
+all_to_all/all_gather, sharded per-process ingest, and the
+process-0-writes-the-result contract -- the exact mechanics of a TPU pod
+slice, minus the ICI.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pim_sort_merge_join_tpu.columnar import csv_io
+from pim_sort_merge_join_tpu.ops import oracle
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _write_csv(path, rows):
+    csv_io.write_csv(path, rows)
+
+
+def test_load_csv_shard_partition(tmp_path):
+    rng = np.random.default_rng(5)
+    rows = np.column_stack(
+        [rng.integers(0, 1000, 101), rng.integers(0, 1000, (101, 3))]
+    ).astype(np.int64)
+    path = str(tmp_path / "t.csv")
+    _write_csv(path, rows)
+    for nshards in (1, 2, 3, 8):
+        parts = [
+            csv_io.load_csv_shard(path, i, nshards) for i in range(nshards)
+        ]
+        got = np.concatenate(parts, axis=0)
+        np.testing.assert_array_equal(got, rows)
+        # No shard holds everything (for nshards > 1 on 101 rows).
+        if nshards > 1:
+            assert max(p.shape[0] for p in parts) < rows.shape[0]
+
+
+@pytest.mark.slow
+def test_two_process_pipeline_matches_oracle(tmp_path):
+    """2 OS processes x 4 virtual CPU devices: full pipeline, byte-exact CSV."""
+    rng = np.random.default_rng(11)
+    n = 600
+    # Reference-like tables: unique col1 keys in [1, 3n).
+    k1 = rng.permutation(np.arange(1, 3 * n))[:n]
+    k2 = rng.permutation(np.arange(1, 3 * n))[:n]
+    r1 = np.column_stack([k1, rng.integers(1, 3 * n, (n, 3))]).astype(np.int64)
+    r2 = np.column_stack([k2, rng.integers(1, 3 * n, (n, 3))]).astype(np.int64)
+    p1, p2 = str(tmp_path / "d1.csv"), str(tmp_path / "d2.csv")
+    out_path = str(tmp_path / "result.csv")
+    _write_csv(p1, r1)
+    _write_csv(p2, r2)
+
+    port = _free_port()
+    sel = n // 2
+    procs = []
+    for pid in (0, 1):
+        cmd = [
+            sys.executable,
+            "-m",
+            "pim_sort_merge_join_tpu.runner.multihost",
+            p1,
+            p2,
+            "-o",
+            out_path,
+            "--coordinator",
+            f"localhost:{port}",
+            "--num-processes",
+            "2",
+            "--process-id",
+            str(pid),
+            "--cpu-devices",
+            "4",
+            "--select-val1",
+            str(sel),
+            "--select-val2",
+            str(sel),
+            "--exchange-slack",
+            "3.0",
+        ]
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(
+            subprocess.Popen(
+                cmd,
+                cwd=REPO,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, stdout, stderr))
+    for rc, stdout, stderr in outs:
+        assert rc == 0, f"process failed:\n{stderr.decode()[-2000:]}"
+
+    want = oracle.pipeline_oracle(
+        r1, r2, pred1=(0, ">", sel), pred2=(0, ">", sel)
+    )
+    buf = io.StringIO()
+    csv_io.write_csv(buf, want)
+    with open(out_path) as f:
+        got = f.read()
+    assert got == buf.getvalue(), "multi-process result.csv is not byte-exact"
