@@ -202,27 +202,41 @@ def _lex_gt(a_planes, b_planes, nkeys: int):
     return gt
 
 
-def _partner_dyn(x, j, is_lo, rows_c, lanes_c):
-    """Value at flat index (i ^ j) of a [rows, 128] plane; j traced."""
+def _partner_static(x, j: int, is_lo):
+    """Value at flat index (i ^ j) of a [rows, 128] plane; j compile-time.
 
-    def lane_partner(v):
-        fwd = pltpu.roll(v, lanes_c - j, 1)
-        bwd = pltpu.roll(v, j, 1)
-        return jnp.where(is_lo, fwd, bwd)
+    Static shifts lower to constant-amount lane/sublane rotations (cheap
+    shuffles). Profiling showed traced shifts (tpu.dynamic_rotate's
+    generic path) cost ~5x overall; every schedule here is static, so all
+    kernels unroll their substeps instead of looping with traced (k, j).
+    """
+    rows, lanes = x.shape
+    if j < lanes:
+        fwd = pltpu.roll(x, jnp.int32(lanes - j), 1)
+        bwd = pltpu.roll(x, jnp.int32(j), 1)
+    else:
+        jr = j // lanes
+        fwd = pltpu.roll(x, jnp.int32(rows - jr), 0)
+        bwd = pltpu.roll(x, jnp.int32(jr), 0)
+    return jnp.where(is_lo, fwd, bwd)
 
-    def row_partner(v):
-        jr = j // lanes_c
-        fwd = pltpu.roll(v, rows_c - jr, 0)
-        bwd = pltpu.roll(v, jr, 0)
-        return jnp.where(is_lo, fwd, bwd)
 
-    return jax.lax.cond(j < lanes_c, lambda: lane_partner(x), lambda: row_partner(x))
+def _bit_clear_static(lane_ix, row_ix, bit: int, lanes: int):
+    """((flat index & bit) == 0) for a compile-time power-of-two ``bit``."""
+    if bit < lanes:
+        return (lane_ix & bit) == 0
+    return (row_ix & (bit // lanes)) == 0
 
 
-def _bit_clear_dyn(lane_ix, row_ix, bit, lanes_c):
-    """((flat index & bit) == 0) for a traced power-of-two ``bit``."""
-    masked = jnp.where(bit < lanes_c, lane_ix & bit, row_ix & (bit // lanes_c))
-    return masked == 0
+def _substep_static(planes, nkeys: int, j: int, up, lane_ix, row_ix, lanes: int):
+    """One static compare-exchange (i, i^j) over a tuple of planes.
+
+    ``up`` is the ascending-direction mask (bool array or True)."""
+    is_lo = _bit_clear_static(lane_ix, row_ix, j, lanes)
+    partners = tuple(_partner_static(p, j, is_lo) for p in planes)
+    gt = _lex_gt(planes, partners, nkeys)
+    take = gt ^ is_lo ^ up
+    return tuple(jnp.where(take, q, p) for p, q in zip(planes, partners))
 
 
 def _flip_flat(x):
@@ -257,34 +271,21 @@ def _flip_flat(x):
 
 
 def _chunk_sort_kernel(in_ref, out_ref, *, chunk: int, nkeys: int):
+    """Fully-unrolled bitonic sort of one chunk (static shifts throughout)."""
     nplanes, rows, lanes = in_ref.shape
-    lanes_c = jnp.int32(lanes)
-    rows_c = jnp.int32(rows)
-    n_c = jnp.int32(chunk)
-    one = jnp.int32(1)
-    two = jnp.int32(2)
-
     lane_ix = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
     row_ix = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-
-    def substep(carry):
-        k, j, planes = carry
-        is_lo = _bit_clear_dyn(lane_ix, row_ix, j, lanes_c)
-        up = _bit_clear_dyn(lane_ix, row_ix, k, lanes_c)
-        partners = tuple(
-            _partner_dyn(p, j, is_lo, rows_c, lanes_c) for p in planes
-        )
-        gt = _lex_gt(planes, partners, nkeys)
-        take = gt ^ is_lo ^ up
-        planes = tuple(jnp.where(take, q, p) for p, q in zip(planes, partners))
-        j2 = j // two
-        ended = j2 < one
-        k_next = jnp.where(ended, k * two, k)
-        j_next = jnp.where(ended, k, j2)
-        return (k_next, j_next, planes)
-
-    init = (two, one, tuple(in_ref[p] for p in range(nplanes)))
-    _, _, planes = jax.lax.while_loop(lambda c: c[0] <= n_c, substep, init)
+    planes = tuple(in_ref[p] for p in range(nplanes))
+    k = 2
+    while k <= chunk:
+        up = _bit_clear_static(lane_ix, row_ix, k, lanes)
+        j = k // 2
+        while j >= 1:
+            planes = _substep_static(
+                planes, nkeys, j, up, lane_ix, row_ix, lanes
+            )
+            j //= 2
+        k *= 2
     for p in range(nplanes):
         out_ref[p] = planes[p]
 
@@ -296,18 +297,22 @@ def _chunk_sort(x: jax.Array, *, chunk: int, nkeys: int, out_rows: int, interpre
     crows = chunk // lanes
     nchunks = rows // crows
     kernel = functools.partial(_chunk_sort_kernel, chunk=chunk, nkeys=nkeys)
+    # Index-map zeros derive from i (i * 0): a literal 0 weak-types to i64
+    # under x64, which Mosaic rejects.
     return pl.pallas_call(
         kernel,
         grid=(nchunks,),
         in_specs=[
             pl.BlockSpec(
                 (nplanes, crows, lanes),
-                lambda i: (i * 0, i, i * 0),  # i*0: i32 zero (x64 weak-type trap)
+                lambda i: (i * 0, i, i * 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (nplanes, crows, lanes), lambda i: (i * 0, i, i * 0),  # i*0: i32 zero (x64 weak-type trap) memory_space=pltpu.VMEM
+            (nplanes, crows, lanes),
+            lambda i: (i * 0, i, i * 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nplanes, out_rows, lanes), jnp.int32),
         compiler_params=pltpu.CompilerParams(
@@ -507,8 +512,6 @@ def _merge_kernel(
     b_len = b_len_ref[i]
 
     rows2 = 2 * trows
-    lanes_c = jnp.int32(_LANES)
-    rows_c = jnp.int32(rows2)
     lane_ix = jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 1)
     row_ix = jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 0)
 
@@ -521,20 +524,13 @@ def _merge_kernel(
         planes.append(jnp.concatenate([at, _flip_flat(bt)], axis=0))
     planes = tuple(planes)
 
-    def substep(carry):
-        j, pls = carry
-        is_lo = _bit_clear_dyn(lane_ix, row_ix, j, lanes_c)
-        partners = tuple(
-            _partner_dyn(p, j, is_lo, rows_c, lanes_c) for p in pls
+    # Ascending bitonic merge, fully unrolled with static shifts.
+    j = tile
+    while j >= 1:
+        planes = _substep_static(
+            planes, nkeys, j, True, lane_ix, row_ix, _LANES
         )
-        gt = _lex_gt(pls, partners, nkeys)
-        take = gt ^ is_lo ^ jnp.bool_(True)
-        pls = tuple(jnp.where(take, q, p) for p, q in zip(pls, partners))
-        return (j // jnp.int32(2), pls)
-
-    _, planes = jax.lax.while_loop(
-        lambda c: c[0] >= 1, substep, (jnp.int32(tile), planes)
-    )
+        j //= 2
     for p in range(nplanes):
         out_ref[p] = planes[p][:trows]
 
