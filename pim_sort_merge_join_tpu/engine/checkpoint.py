@@ -111,6 +111,44 @@ class StageCheckpointer:
             names=payload["names"],
         )
 
+    def load_sharded(self, stage: str, name: str, mesh, axis: str):
+        """Restore a ShardedTable onto ``mesh``.
+
+        Post-exchange checkpoints are co-partitioned by key range; shard i's
+        rows only join against shard i's rows, so restore requires the same
+        partition count (a different mesh size needs a fresh exchange)."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from pim_sort_merge_join_tpu.engine.distributed import ShardedTable
+
+        payload = self.load(stage)[name]
+        if payload["kind"] != "sharded":
+            raise TypeError(f"checkpoint {stage}.{name} is not sharded")
+        arrays = payload["arrays"]
+        p = mesh.shape[axis]
+        if arrays["counts"].shape[0] != p:
+            raise ValueError(
+                f"checkpoint has {arrays['counts'].shape[0]} shards; mesh "
+                f"axis {axis!r} has {p} -- resume on the same partition "
+                "count or re-run the exchange"
+            )
+        data = jnp.asarray(arrays["data"])
+        counts = jnp.asarray(arrays["counts"])
+        placed_data = jax.make_array_from_callback(
+            data.shape,
+            NamedSharding(mesh, PartitionSpec(axis, None)),
+            lambda i: data[i],
+        )
+        placed_counts = jax.make_array_from_callback(
+            counts.shape,
+            NamedSharding(mesh, PartitionSpec(axis)),
+            lambda i: counts[i],
+        )
+        return ShardedTable(
+            data=placed_data, counts=placed_counts, names=payload["names"]
+        )
+
 
 def _table_to_host(t) -> dict[str, Any]:
     from pim_sort_merge_join_tpu.engine.distributed import ShardedTable

@@ -13,12 +13,15 @@ single jitted SPMD program; no host round-trips between stages.
 Output global order: with `partition_scheme="range"` (default), partitions
 are ascending key ranges, each shard's join output follows its local key
 order, so concatenating shard outputs in shard order reproduces the
-single-chip (and reference) row order exactly for unique keys. With
-duplicate join keys the order among equal-key table-1 rows is (source
-shard, source position) rather than global insertion order --
-deterministic, but it can differ from the single-chip order; SURVEY.md
-section 7 ("Multi-host determinism") tracks this as the documented tie-order
-caveat. With `partition_scheme="hash"` (BASELINE config 3) equal keys still
+single-chip (and reference) row order exactly -- duplicate keys included.
+Equal-key rows keep global insertion order end to end: contiguous row-block
+scatter makes (source shard, source position) == global position, the
+stable filter compaction and the exchange both preserve it (arrival order
+is source-shard-major, shuffle.py), and the merged-domain join breaks key
+ties by arrival position (`test_distributed_duplicate_keys` pins byte
+equality). Two modes trade this order away by design: skew rank-spreading
+(heavy keys are routed by occurrence rank, not range) and
+`partition_scheme="hash"` (BASELINE config 3), where equal keys still
 co-locate but shard order does not follow key order: output is the same
 multiset of rows, deterministic, key-sorted WITHIN each shard; callers that
 need globally key-ordered output merge the shard streams at
@@ -218,15 +221,27 @@ def _local_table(data: jax.Array, count: jax.Array, names: tuple) -> Table:
     return Table(data=data, num_rows=count.reshape(()).astype(jnp.int32), names=names)
 
 
-def distributed_pipeline_core(
+def _fused_local_join(config: EngineConfig) -> bool:
+    return (
+        config.join_mode == "one_to_one" and config.join_algorithm == "sort_merge"
+    )
+
+
+def distributed_exchange_core(
     t1: ShardedTable,
     t2: ShardedTable,
     config: EngineConfig,
     mesh: Mesh,
     *,
     exchange_capacity: int,
-) -> ShardedTable:
-    """filter -> sample splitters -> range exchange -> sort -> join, SPMD."""
+):
+    """Stages 1-3: filter -> sample splitters -> range exchange [-> sort].
+
+    Returns (s1, s2, diagnostics): the co-partitioned post-exchange tables.
+    This is the distributed checkpoint boundary (the analog of the SDK's
+    MRAM snapshot, dpu_checkpoint.h:46): everything before it is
+    key-routing, everything after is per-shard local work.
+    """
     axis = config.mesh_axis
     num_partitions = mesh.shape[axis]
     sample_size = config.splitter_sample
@@ -243,9 +258,7 @@ def distributed_pipeline_core(
     # skipped entirely: the merged-domain join core (ops/join.py) never
     # needs sorted inputs, and exchange arrival order is deterministic, so
     # per-shard output is still reproducible and key-ordered.
-    fused_local_join = (
-        config.join_mode == "one_to_one" and config.join_algorithm == "sort_merge"
-    )
+    fused_local_join = _fused_local_join(config)
     # Skew-aware repartitioning (exchange/skew.py): heavy keys detected from
     # the pooled sample are rank-co-partitioned (both modes); inner mode
     # additionally broadcasts table 2's heavy rows (cross products need
@@ -330,22 +343,6 @@ def distributed_pipeline_core(
             heavy_true.reshape(1),
         )
 
-    def stage_join(d1, c1, d2, c2):
-        a = _local_table(d1, c1, tuple(f"col{i+1}" for i in range(d1.shape[1])))
-        b = _local_table(d2, c2, tuple(f"col{i+1}" for i in range(d2.shape[1])))
-        out_cap = None
-        if config.join_mode == "inner":
-            # join_slack sizes the per-shard output past the per-shard input
-            # capacity; `num_rows` still reports the TRUE match count, so the
-            # driver can detect overflow (ops/join.py merge_join_inner).
-            out_cap = -(-int(d1.shape[0] * config.join_slack) // 128) * 128
-        out = join_ops.merge_join(
-            a, b, config.join_key1, config.join_key2,
-            mode=config.join_mode, presorted=not fused_local_join,
-            out_capacity=out_cap,
-        )
-        return out.data, out.num_rows.reshape(1)
-
     shmap = functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False
     )
@@ -415,16 +412,6 @@ def distributed_pipeline_core(
         ),
     )(*args)
 
-    # --- stage 4: co-partitioned local join -------------------------------
-    out_data, out_counts = shmap(
-        stage_join,
-        in_specs=(P(axis, None), P(axis), P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis)),
-    )(s1_data, s1_counts, s2_data, s2_counts)
-
-    ncol_out = t1.ncol + t2.ncol - 1
-    names = tuple(f"col{i + 1}" for i in range(ncol_out))
-    result = ShardedTable(data=out_data, counts=out_counts, names=names)
     diagnostics = {
         "exchange_true_rows1": true1,
         "exchange_true_rows2": true2,
@@ -434,6 +421,67 @@ def distributed_pipeline_core(
         "sorted_rows1": s1_counts,
         "sorted_rows2": s2_counts,
     }
+    s1 = ShardedTable(data=s1_data, counts=s1_counts, names=t1.names)
+    s2 = ShardedTable(data=s2_data, counts=s2_counts, names=t2.names)
+    return s1, s2, diagnostics
+
+
+def distributed_join_core(
+    s1: ShardedTable,
+    s2: ShardedTable,
+    config: EngineConfig,
+    mesh: Mesh,
+) -> ShardedTable:
+    """Stage 4: co-partitioned local join of post-exchange tables."""
+    axis = config.mesh_axis
+    fused_local_join = _fused_local_join(config)
+
+    def stage_join(d1, c1, d2, c2):
+        a = _local_table(d1, c1, tuple(f"col{i+1}" for i in range(d1.shape[1])))
+        b = _local_table(d2, c2, tuple(f"col{i+1}" for i in range(d2.shape[1])))
+        out_cap = None
+        if config.join_mode == "inner":
+            # join_slack sizes the per-shard output past the per-shard input
+            # capacity; `num_rows` still reports the TRUE match count, so the
+            # driver can detect overflow (ops/join.py merge_join_inner).
+            out_cap = -(-int(d1.shape[0] * config.join_slack) // 128) * 128
+        out = join_ops.merge_join(
+            a, b, config.join_key1, config.join_key2,
+            mode=config.join_mode, presorted=not fused_local_join,
+            out_capacity=out_cap,
+        )
+        return out.data, out.num_rows.reshape(1)
+
+    out_data, out_counts = jax.shard_map(
+        stage_join,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False,
+    )(s1.data, s1.counts, s2.data, s2.counts)
+
+    ncol_out = s1.ncol + s2.ncol - 1
+    names = tuple(f"col{i + 1}" for i in range(ncol_out))
+    return ShardedTable(data=out_data, counts=out_counts, names=names)
+
+
+def distributed_pipeline_core(
+    t1: ShardedTable,
+    t2: ShardedTable,
+    config: EngineConfig,
+    mesh: Mesh,
+    *,
+    exchange_capacity: int,
+):
+    """filter -> sample splitters -> range exchange -> sort -> join, SPMD.
+
+    One fused program (when jitted as a whole): XLA schedules the two
+    tables' exchanges and local work together; the phase split exists for
+    the checkpoint boundary (`run_tables_resumable`)."""
+    s1, s2, diagnostics = distributed_exchange_core(
+        t1, t2, config, mesh, exchange_capacity=exchange_capacity
+    )
+    result = distributed_join_core(s1, s2, config, mesh)
     return result, diagnostics
 
 
@@ -557,31 +605,98 @@ class DistributedQueryPipeline:
             )
             m.bytes_moved = shuffled * row_bytes
         if check_overflow:
-            from pim_sort_merge_join_tpu.engine.errors import (
-                ExchangeOverflowError,
-                JoinOverflowError,
-            )
+            self._check_exchange_overflow(diag, exchange_capacity)
+            self._check_join_overflow(out)
+        return out
 
-            for name, true_key, got_key in (
-                ("table1", "exchange_true_rows1", "sorted_rows1"),
-                ("table2", "exchange_true_rows2", "sorted_rows2"),
-            ):
-                true = _host_diag(diag[true_key])
-                if (true > exchange_capacity).any():
-                    raise ExchangeOverflowError(name, true, exchange_capacity)
-            hcap = int(diag["heavy_gather_capacity"])
-            for name in ("heavy_true_rows1", "heavy_true_rows2"):
-                true = _host_diag(diag[name])
-                if (true > hcap).any():
-                    raise ExchangeOverflowError(
-                        f"{name} (broadcast side)", true, hcap
+    def _check_exchange_overflow(self, diag, exchange_capacity: int) -> None:
+        from pim_sort_merge_join_tpu.engine.errors import ExchangeOverflowError
+
+        for name, true_key in (
+            ("table1", "exchange_true_rows1"),
+            ("table2", "exchange_true_rows2"),
+        ):
+            true = _host_diag(diag[true_key])
+            if (true > exchange_capacity).any():
+                raise ExchangeOverflowError(name, true, exchange_capacity)
+        hcap = int(diag["heavy_gather_capacity"])
+        for name in ("heavy_true_rows1", "heavy_true_rows2"):
+            true = _host_diag(diag[name])
+            if (true > hcap).any():
+                raise ExchangeOverflowError(
+                    f"{name} (broadcast side)", true, hcap
+                )
+
+    def _check_join_overflow(self, out: ShardedTable) -> None:
+        # Inner joins report per-shard TRUE match counts; rows past the
+        # per-shard output capacity were dropped on device.
+        from pim_sort_merge_join_tpu.engine.errors import JoinOverflowError
+
+        p = self.mesh.shape[self.config.mesh_axis]
+        counts = _host_diag(out.counts)
+        shard_out_cap = out.data.shape[0] // p
+        if (counts > shard_out_cap).any():
+            raise JoinOverflowError(int(counts.max()), shard_out_cap)
+
+    def run_tables_resumable(
+        self, t1: ShardedTable, t2: ShardedTable
+    ) -> ShardedTable:
+        """Exchange-boundary-checkpointed distributed execution.
+
+        The SPMD pipeline is split at the post-exchange boundary (the
+        distributed analog of the SDK's MRAM snapshot,
+        dpu_checkpoint.h:46): phase 1 filters, samples, and exchanges both
+        tables, then checkpoints the co-partitioned sharded state; phase 2
+        joins. A rerun with the same config and mesh size resumes at the
+        join, skipping the collectives entirely.
+        """
+        if self.config.checkpoint_dir is None:
+            return self.run_tables(t1, t2)
+        from pim_sort_merge_join_tpu.engine.checkpoint import (
+            StageCheckpointer,
+            config_fingerprint,
+        )
+
+        p = self.mesh.shape[self.config.mesh_axis]
+        ckpt = StageCheckpointer(
+            self.config.checkpoint_dir,
+            config_fingerprint(self.config) + f"|mesh={p}",
+        )
+        axis = self.config.mesh_axis
+        if ckpt.has("exchanged"):
+            s1 = ckpt.load_sharded("exchanged", "t1", self.mesh, axis)
+            s2 = ckpt.load_sharded("exchanged", "t2", self.mesh, axis)
+        else:
+            shard_cap = max(t1.data.shape[0], t2.data.shape[0]) // p
+            cap = -(-int(shard_cap * self.config.exchange_slack) // 128) * 128
+            key = ("exchange", cap)
+            if key not in self._jitted:
+                self._jitted[key] = jax.jit(
+                    functools.partial(
+                        distributed_exchange_core,
+                        config=self.config,
+                        mesh=self.mesh,
+                        exchange_capacity=cap,
                     )
-            # Inner joins report per-shard TRUE match counts; rows past the
-            # per-shard output capacity were dropped on device.
-            counts = _host_diag(out.counts)
-            shard_out_cap = out.data.shape[0] // p
-            if (counts > shard_out_cap).any():
-                raise JoinOverflowError(int(counts.max()), shard_out_cap)
+                )
+            with self.metrics.stage("exchange") as m:
+                s1, s2, diag = self._jitted[key](t1, t2)
+                jax.block_until_ready((s1, s2))
+                m.rows_out = int(jnp.sum(s1.counts)) + int(jnp.sum(s2.counts))
+            self._check_exchange_overflow(diag, cap)
+            ckpt.save("exchanged", t1=s1, t2=s2)
+        key = ("join", s1.data.shape, s2.data.shape)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                functools.partial(
+                    distributed_join_core, config=self.config, mesh=self.mesh
+                )
+            )
+        with self.metrics.stage("join") as m:
+            out = jax.block_until_ready(self._jitted[key](s1, s2))
+            m.rows_out = int(jnp.sum(out.counts))
+        self._check_join_overflow(out)
+        ckpt.save("joined", result=out)
         return out
 
     def metrics_json(self) -> str:

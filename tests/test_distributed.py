@@ -133,12 +133,12 @@ def test_distributed_duplicate_keys(rng):
     pipe = DistributedQueryPipeline(cfg, mesh8())
     out = pipe.run_arrays(r1, r2).to_numpy()
     want = oracle.pipeline_oracle(r1, r2, pred1=(1, ">=", 0), pred2=(1, ">=", 0))
-    # Same multiset of rows and same join cardinality; global order may
-    # reorder equal-key blocks (documented tie-order caveat).
-    assert out.shape == want.shape
-    np.testing.assert_array_equal(
-        out[np.lexsort(out.T[::-1])], want[np.lexsort(want.T[::-1])]
-    )
+    # BYTE-IDENTICAL to the single-chip/oracle order, duplicates included:
+    # exchange arrival order is (source shard, source position) == global
+    # ingestion order for contiguous row-block scatter, and the merged-domain
+    # join is stable, so equal-key rows keep global insertion order through
+    # the distributed path (range scheme, rank-spreading disabled).
+    np.testing.assert_array_equal(out, want)
     # Keys arrive in globally nondecreasing order.
     assert (np.diff(out[:, 0]) >= 0).all()
 
@@ -284,3 +284,70 @@ def test_skew_heavy_hitter_inner_broadcast(rng):
     np.testing.assert_array_equal(
         out[np.lexsort(out.T[::-1])], want[np.lexsort(want.T[::-1])]
     )
+
+
+def test_distributed_resumable_matches_and_resumes(rng, tmp_path):
+    """Exchange-boundary checkpoint: correct output, and a rerun resumes
+    from the persisted co-partitioned state (garbage inputs prove the
+    exchange was skipped)."""
+    from tests.conftest import make_reference_like_tables
+
+    r1, r2 = make_reference_like_tables(rng, 600)
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", 300),
+        predicate2=Predicate(0, ">", 300),
+        splitter_sample=128,
+        checkpoint_dir=str(tmp_path),
+    )
+    mesh = mesh8()
+    pipe = DistributedQueryPipeline(cfg, mesh)
+    t1 = ShardedTable.from_numpy(r1, mesh, "p")
+    t2 = ShardedTable.from_numpy(r2, mesh, "p")
+    out1 = pipe.run_tables_resumable(t1, t2).to_numpy()
+    want = oracle.pipeline_oracle(
+        r1, r2, pred1=(0, ">", 300), pred2=(0, ">", 300)
+    )
+    np.testing.assert_array_equal(out1, want)
+
+    # Resume: garbage inputs of the same shape must not matter.
+    garbage = ShardedTable.from_numpy(np.zeros_like(r1), mesh, "p")
+    out2 = (
+        DistributedQueryPipeline(cfg, mesh)
+        .run_tables_resumable(garbage, garbage)
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(out2, want)
+
+
+def test_distributed_resume_rejects_mesh_size_change(rng, tmp_path):
+    from jax.sharding import Mesh
+
+    from pim_sort_merge_join_tpu.engine.checkpoint import StageCheckpointer
+
+    r1, r2 = (
+        np.column_stack([rng.permutation(np.arange(1, 65)), rng.integers(1, 64, (64, 3))]).astype(np.int64)
+        for _ in range(2)
+    )
+    cfg = EngineConfig(
+        predicate1=Predicate(1, ">=", 0),
+        predicate2=Predicate(1, ">=", 0),
+        checkpoint_dir=str(tmp_path),
+    )
+    mesh = mesh8()
+    pipe = DistributedQueryPipeline(cfg, mesh)
+    pipe.run_tables_resumable(
+        ShardedTable.from_numpy(r1, mesh, "p"),
+        ShardedTable.from_numpy(r2, mesh, "p"),
+    )
+    # A 4-device mesh cannot consume an 8-way co-partitioned checkpoint.
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("p",))
+    p8 = DistributedQueryPipeline(cfg, mesh)
+    ckpt = StageCheckpointer(
+        str(tmp_path),
+        __import__(
+            "pim_sort_merge_join_tpu.engine.checkpoint", fromlist=["x"]
+        ).config_fingerprint(cfg)
+        + "|mesh=8",
+    )
+    with pytest.raises(ValueError, match="shards"):
+        ckpt.load_sharded("exchanged", "t1", mesh4, "p")
