@@ -54,6 +54,13 @@ def _add_run_parser(sub):
     )
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--metrics", action="store_true", help="print stage metrics JSON")
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture a jax.profiler device trace of the run into DIR "
+        "(view in TensorBoard/Perfetto; the dpu-profiling analog)",
+    )
 
 
 def _add_generate_parser(sub):
@@ -86,26 +93,37 @@ def _cmd_run(args) -> int:
         dtype=args.dtype,
         checkpoint_dir=args.checkpoint_dir,
     )
-    if args.distributed:
-        from pim_sort_merge_join_tpu.columnar import csv_io
-        from pim_sort_merge_join_tpu.engine.distributed import (
-            DistributedQueryPipeline,
-        )
+    import contextlib
 
-        pipe = DistributedQueryPipeline(config)
-        rows1 = csv_io.load_csv_numpy(args.table1)
-        rows2 = csv_io.load_csv_numpy(args.table2)
-        out = pipe.run_arrays(rows1, rows2)
-        result = out.to_numpy()
-        csv_io.write_csv(args.output, result)
-        n = result.shape[0]
-    else:
-        from pim_sort_merge_join_tpu.engine.pipeline import QueryPipeline
+    trace_cm = contextlib.nullcontext()
+    if args.profile:
+        from pim_sort_merge_join_tpu.engine.profiling import device_trace
 
-        pipe = QueryPipeline(config)
-        result_t = pipe.run_csv(args.table1, args.table2, args.output)
-        n = int(result_t.num_rows)
+        trace_cm = device_trace(args.profile)
+
+    with trace_cm:
+        if args.distributed:
+            from pim_sort_merge_join_tpu.columnar import csv_io
+            from pim_sort_merge_join_tpu.engine.distributed import (
+                DistributedQueryPipeline,
+            )
+
+            pipe = DistributedQueryPipeline(config)
+            rows1 = csv_io.load_csv_numpy(args.table1)
+            rows2 = csv_io.load_csv_numpy(args.table2)
+            out = pipe.run_arrays(rows1, rows2)
+            result = out.to_numpy()
+            csv_io.write_csv(args.output, result)
+            n = result.shape[0]
+        else:
+            from pim_sort_merge_join_tpu.engine.pipeline import QueryPipeline
+
+            pipe = QueryPipeline(config)
+            result_t = pipe.run_csv(args.table1, args.table2, args.output)
+            n = int(result_t.num_rows)
     print(f"wrote {n} rows to {args.output}", file=sys.stderr)
+    if args.profile:
+        print(f"device trace captured under {args.profile}", file=sys.stderr)
     if args.metrics:
         print(pipe.metrics_json())
     return 0

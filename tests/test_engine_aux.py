@@ -190,3 +190,32 @@ def test_malformed_csv_message(tmp_path):
         f.write("col1,col2\n1,2\n3\n")
     with pytest.raises(ValueError, match="bad.csv"):
         csv_io.load_csv_numpy(p)
+
+
+def test_cli_profile_captures_trace(tmp_path):
+    """--profile wires engine/profiling.device_trace into the run path and
+    leaves a TensorBoard/Perfetto-readable trace on disk (S10 analog)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    d1, d2 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    trace_dir = str(tmp_path / "trace")
+    subprocess.run(
+        [sys.executable, "-m", "pim_sort_merge_join_tpu.runner.cli",
+         "generate", "200", "--out1", d1, "--out2", d2],
+        capture_output=True, text=True, env=env, cwd="/root/repo", check=True,
+    )
+    run = subprocess.run(
+        [sys.executable, "-m", "pim_sort_merge_join_tpu.runner.cli",
+         "run", d1, d2, "-o", str(tmp_path / "r.csv"),
+         "--select-val1", "50", "--select-val2", "50",
+         "--simulator", "2", "--profile", trace_dir],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr
+    assert "device trace captured" in run.stderr
+    traces = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(trace_dir)
+        for f in files
+    ]
+    assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz")) for f in traces), traces
