@@ -78,6 +78,11 @@ class EngineConfig:
     exchange_slack: float = 2.0
     # Rows sampled per shard for range splitter selection.
     splitter_sample: int = 1024
+    # Split each table's all_to_all payload into this many independent
+    # collectives (bit-identical result): finer units let XLA's
+    # latency-hiding scheduler overlap one table's exchange with the other
+    # table's local compute in the fused region (exchange/shuffle.py).
+    exchange_chunks: int = 4
     # A key exceeding this fraction of the pooled sample is a heavy hitter:
     # its rows are co-partitioned by global occurrence rank (exact for the
     # 1:1 join semantics) instead of by key range; inner joins additionally

@@ -306,6 +306,7 @@ def distributed_exchange_core(
             axis,
             bucket_capacity=bucket_cap,
             recv_capacity=exchange_capacity,
+            num_chunks=config.exchange_chunks,
         )
         if g_rows is not None:
             # Append the broadcast heavy rows and key-sort the union into a
@@ -530,6 +531,7 @@ def distributed_aggregate_core(
             axis,
             bucket_capacity=bucket_cap,
             recv_capacity=exchange_capacity,
+            num_chunks=config.exchange_chunks,
         )
         local = Table(data=ex.data, num_rows=ex.num_rows, names=())
         out = hash_aggregate(local, key, value, agg)

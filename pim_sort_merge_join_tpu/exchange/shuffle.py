@@ -37,6 +37,7 @@ def all_to_all_exchange(
     *,
     bucket_capacity: int,
     recv_capacity: int | None = None,
+    num_chunks: int = 1,
 ) -> ExchangeResult:
     """Route rows of ``data`` to the shard named by ``dest`` over ``axis_name``.
 
@@ -49,6 +50,14 @@ def all_to_all_exchange(
       axis_name: mesh axis to exchange over.
       bucket_capacity: C, max rows this shard may send to any one shard.
       recv_capacity: capacity of the compacted receive buffer (default P*C).
+      num_chunks: split the row payload into this many independent
+        all_to_all collectives over bucket sub-ranges. The result is
+        bit-identical for any value; >1 gives XLA's latency-hiding
+        scheduler finer units to overlap with independent compute (the
+        other table's local sort in the fused pipeline region) -- the
+        TPU-native replacement for the reference's DPU_XFER_ASYNC +
+        dpu_callback overlap (dpu.h:72-82, :651; SURVEY.md section 7
+        "double-buffered chunked all_to_all").
 
     Rows keep a deterministic global order: received rows are ordered by
     (source shard, source local order), which downstream stable sorts
@@ -85,15 +94,34 @@ def all_to_all_exchange(
     buckets = buckets.at[slot, :].set(sorted_rows, mode="drop")
 
     # --- the exchange -----------------------------------------------------
-    # tiled all_to_all: chunk j of our buckets goes to shard j; received
-    # chunk i sits at block i, so arrival order is source-shard order.
-    recv = jax.lax.all_to_all(
-        buckets.reshape(num_partitions, c, ncol),
-        axis_name,
-        split_axis=0,
-        concat_axis=0,
-        tiled=False,
-    ).reshape(num_partitions * c, ncol)
+    # Block j of our buckets goes to shard j; received block i sits at
+    # position i, so arrival order is source-shard order. With
+    # num_chunks > 1 the payload moves as several independent collectives
+    # over row sub-ranges of every bucket; recombining along axis 1
+    # restores the exact single-collective layout.
+    blocks = buckets.reshape(num_partitions, c, ncol)
+    k = max(min(num_chunks, c), 1)
+    if c % k != 0:
+        k = 1  # uneven split: fall back to one collective
+    if k == 1:
+        recv = jax.lax.all_to_all(
+            blocks, axis_name, split_axis=0, concat_axis=0, tiled=False
+        ).reshape(num_partitions * c, ncol)
+    else:
+        step = c // k
+        parts = [
+            jax.lax.all_to_all(
+                blocks[:, i * step : (i + 1) * step, :],
+                axis_name,
+                split_axis=0,
+                concat_axis=0,
+                tiled=False,
+            )
+            for i in range(k)
+        ]
+        recv = jnp.concatenate(parts, axis=1).reshape(
+            num_partitions * c, ncol
+        )
     sent_counts = jnp.minimum(counts, c)  # what actually fit
     recv_counts = jax.lax.all_to_all(
         sent_counts.reshape(num_partitions, 1), axis_name, 0, 0

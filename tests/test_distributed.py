@@ -351,3 +351,50 @@ def test_distributed_resume_rejects_mesh_size_change(rng, tmp_path):
     )
     with pytest.raises(ValueError, match="shards"):
         ckpt.load_sharded("exchanged", "t1", mesh4, "p")
+
+
+@pytest.mark.parametrize("chunks", [2, 4, 16])
+def test_chunked_exchange_bit_identical(chunks):
+    """num_chunks only changes collective granularity, never the result."""
+    mesh = mesh8()
+    p, cap = 8, 16
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 1000, (p * cap, 2)).astype(np.int64)
+    dest = rng.integers(0, p, p * cap).astype(np.int32)
+
+    def body(d, t, k):
+        res = all_to_all_exchange(
+            d, t, "p", bucket_capacity=16, recv_capacity=64, num_chunks=k
+        )
+        return res.data, res.num_rows.reshape(1), res.true_rows.reshape(1)
+
+    outs = {}
+    for k in (1, chunks):
+        outs[k] = jax.jit(
+            jax.shard_map(
+                lambda d, t, k=k: body(d, t, k),
+                mesh=mesh,
+                in_specs=(P("p", None), P("p")),
+                out_specs=(P("p", None), P("p"), P("p")),
+                check_vma=False,
+            )
+        )(jnp.asarray(data), jnp.asarray(dest))
+    for a, b in zip(outs[1], outs[chunks]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_chunked_exchange_matches_oracle(rng):
+    from tests.conftest import make_reference_like_tables
+
+    r1, r2 = make_reference_like_tables(rng, 500)
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", 250),
+        predicate2=Predicate(0, ">", 250),
+        splitter_sample=128,
+        exchange_chunks=8,
+    )
+    out = DistributedQueryPipeline(cfg, mesh8()).run_arrays(r1, r2).to_numpy()
+    want = oracle.pipeline_oracle(
+        r1, r2, pred1=(0, ">", 250), pred2=(0, ">", 250)
+    )
+    np.testing.assert_array_equal(out, want)
