@@ -22,6 +22,7 @@ def run(sizes, reps=5):
     import jax.numpy as jnp
 
     from bench.timing import opaque_zero, time_chained_ms
+    from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
     from pim_sort_merge_join_tpu.ops.pallas.sort_kernel import (
         PALLAS_SORT_MAX,
         sort_pairs_pallas,
@@ -36,9 +37,14 @@ def run(sizes, reps=5):
         def xla_sort(k, v):
             return jax.lax.sort((k, v), num_keys=1, is_stable=True)
 
+        def hbm(k, v):
+            return hbm_sort((k, v))
+
         variants = {
             "xla_sort_i64": (xla_sort, keys64),
             "xla_sort_i32": (xla_sort, keys32),
+            "hbm_pallas_i64": (hbm, keys64),
+            "hbm_pallas_i32": (hbm, keys32),
         }
         if n <= PALLAS_SORT_MAX:
             variants["pallas_bitonic_i32"] = (sort_pairs_pallas, keys32)

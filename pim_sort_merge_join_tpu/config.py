@@ -34,7 +34,7 @@ class Predicate:
 
 JoinMode = Literal["one_to_one", "inner"]
 JoinAlgorithm = Literal["sort_merge", "hash"]
-SortAlgorithm = Literal["xla", "pallas_bitonic"]
+SortAlgorithm = Literal["auto", "xla", "hbm_pallas", "pallas_bitonic"]
 PartitionScheme = Literal["range", "hash"]
 
 
@@ -66,7 +66,9 @@ class EngineConfig:
 
     # --- algorithm selection ---
     join_algorithm: JoinAlgorithm = "sort_merge"
-    sort_algorithm: SortAlgorithm = "xla"
+    # "auto" = the HBM-scale Pallas sort on TPU at >=2^25 rows (the
+    # measured v5e crossover, ops/sort.py), jax.lax.sort below it.
+    sort_algorithm: SortAlgorithm = "auto"
     partition_scheme: PartitionScheme = "range"
 
     # --- parallelism / capacity layout ---

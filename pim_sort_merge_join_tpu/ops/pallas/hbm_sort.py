@@ -560,7 +560,7 @@ def _merge_pass(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (nplanes, trows, lanes),
             lambda i, *_: (i * 0, i, i * 0),
@@ -599,7 +599,9 @@ def hbm_sort(
 
     Drop-in for ``jax.lax.sort(ops, num_keys=1, is_stable=True)`` on int32 /
     uint32 / int64 / uint64 / float32 / float64 operands of any common
-    length. NaN keys are unsupported (they sort above +inf).
+    length. Float keys use IEEE TOTAL order: -0.0 sorts strictly before
+    +0.0 (lax.sort treats them as equal ties), and NaN keys are unsupported
+    (they sort above +inf).
 
     ``chunk``/``tile`` override the VMEM sizing heuristics (powers of two,
     tile <= chunk); used by tests to exercise multi-pass merging at small n.

@@ -245,8 +245,10 @@ def _sort_pairs_pallas_p2(keys, vals, interpret=False):
 
 
 # Above this width the VMEM-resident kernel exceeds on-chip memory
-# (keys + vals + partner/roll temporaries); fall back to XLA's HBM-tiled
-# sort until the multi-block merge kernel lands.
+# (keys + vals + partner/roll temporaries). Larger inputs belong to the
+# HBM-scale sort (`ops/pallas/hbm_sort.py`), which this entry point
+# delegates to -- loudly, not silently (the round-1 silent XLA fallback is
+# gone).
 PALLAS_SORT_MAX = 1 << 21
 
 
@@ -254,12 +256,26 @@ def sort_pairs_pallas(keys: jax.Array, vals: jax.Array, *, interpret: bool = Fal
     """Stable-sort (keys, vals) by (key, val) ascending; any length.
 
     Pads to the next power of two with the max-key sentinel; returns arrays
-    of the original length.
+    of the original length. Inputs past the VMEM-resident cap run on the
+    HBM-scale Pallas sort instead (one warning; same contract).
     """
     n = keys.shape[0]
     n2 = max(_next_pow2(n), 256)
     if n2 > PALLAS_SORT_MAX and not interpret:
-        return jax.lax.sort((keys, vals), num_keys=2)
+        import warnings
+
+        from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
+
+        warnings.warn(
+            f"sort_pairs_pallas: n={n} exceeds the VMEM-resident cap "
+            f"({PALLAS_SORT_MAX}); running the HBM-scale Pallas sort "
+            "(ops/pallas/hbm_sort.py) instead",
+            stacklevel=2,
+        )
+        # (key, val) 2-key semantics: vals are unique in every engine call
+        # site (an arange), and hbm_sort's synthetic arange plane makes the
+        # sort stable, so sorting by key alone is equivalent.
+        return hbm_sort((keys, vals))
     if n2 != n:
         pad_k = jnp.full((n2 - n,), jnp.iinfo(keys.dtype).max, dtype=keys.dtype)
         pad_v = jnp.full((n2 - n,), jnp.iinfo(vals.dtype).max, dtype=vals.dtype)

@@ -21,10 +21,39 @@ import jax.numpy as jnp
 
 from pim_sort_merge_join_tpu.columnar.table import Table
 
+# Measured crossover on TPU v5e (bench/sort_bench.py): the HBM-scale Pallas
+# sort matches jax.lax.sort at 2^24 keys and beats it at 2^26 (XLA's sort
+# goes superlinear past ~2^23; the merge-path passes stay linear). "auto"
+# switches at this size on TPU backends.
+HBM_SORT_AUTO_MIN = 1 << 25
 
-def sort_by_key(table: Table, key: int, *, algorithm: str = "xla") -> Table:
-    """Sort valid rows ascending by column ``key``; stable on ties."""
+
+def sort_by_key(table: Table, key: int, *, algorithm: str = "auto") -> Table:
+    """Sort valid rows ascending by column ``key``; stable on ties.
+
+    Algorithms: "xla" (`jax.lax.sort`), "hbm_pallas" (the HBM-scale Pallas
+    chunk-bitonic + merge-path sort, any size), "pallas_bitonic" (the
+    VMEM-resident kernel), or "auto" -- hbm_pallas on TPU at or above
+    ``HBM_SORT_AUTO_MIN`` rows, xla otherwise.
+    """
     keys = table.masked_keys(key)
+    if algorithm == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        algorithm = (
+            "hbm_pallas"
+            if on_tpu and table.capacity >= HBM_SORT_AUTO_MIN
+            else "xla"
+        )
+    if algorithm == "hbm_pallas":
+        from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
+
+        # Multi-operand: rows ride through the sort as 32-bit planes; the
+        # kernel's synthetic arange plane makes it stable. Padding rows
+        # carry the key sentinel and stay at the tail.
+        cols = tuple(table.data[:, c] for c in range(table.ncol))
+        sorted_ops = hbm_sort((keys,) + cols)
+        data = jnp.stack(sorted_ops[1:], axis=1)
+        return table.replace(data=data)
     if algorithm == "xla":
         # Multi-operand sort: rows ride along with the key through the sort
         # network (sequential access) -- measured ~3x faster at 16M rows

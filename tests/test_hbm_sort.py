@@ -1,0 +1,148 @@
+"""HBM-scale Pallas sort (ops/pallas/hbm_sort.py): interpret-mode on CPU.
+
+Small chunk/tile overrides force multi-pass merge-path merging so every
+phase (chunk bitonic, merge-path metadata, the double-buffered merge
+kernel) runs at test size; on TPU the same code compiles (exercised by
+bench/sort_bench.py and the `auto` engine path).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import choose_sizes, hbm_sort
+
+ON_TPU = jax.default_backend() == "tpu"
+INTERP = not ON_TPU
+CHUNK, TILE = 512, 256  # 4+ chunks at n=2048: multi-pass merging
+
+
+def _ref_sort(key, *payload):
+    order = np.argsort(key, kind="stable")
+    return (key[order],) + tuple(p[order] for p in payload)
+
+
+@pytest.mark.parametrize("n", [512, 2048, 4096])
+def test_pair_multi_pass(rng, n):
+    keys = rng.integers(0, 1 << 30, size=n).astype(np.int32)
+    vals = np.arange(n, dtype=np.int32)
+    got = hbm_sort(
+        (jnp.asarray(keys), jnp.asarray(vals)),
+        interpret=INTERP, chunk=CHUNK, tile=TILE,
+    )
+    want = _ref_sort(keys, vals)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), w)
+
+
+def test_non_pow2_length_and_padding(rng):
+    n = 1500  # pads to 2048 with sentinel keys
+    keys = rng.integers(-(1 << 30), 1 << 30, size=n).astype(np.int32)
+    vals = rng.integers(0, 100, size=n).astype(np.int32)
+    got = hbm_sort(
+        (jnp.asarray(keys), jnp.asarray(vals)),
+        interpret=INTERP, chunk=CHUNK, tile=TILE,
+    )
+    want = _ref_sort(keys, vals)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), w)
+
+
+def test_stability_on_duplicates(rng):
+    n = 2048
+    keys = rng.integers(0, 7, size=n).astype(np.int32)  # heavy duplication
+    vals = np.arange(n, dtype=np.int32)
+    got = hbm_sort(
+        (jnp.asarray(keys), jnp.asarray(vals)),
+        interpret=INTERP, chunk=CHUNK, tile=TILE,
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(got[1]), order)
+
+
+@pytest.mark.parametrize(
+    "dtype,lo,hi",
+    [
+        ("int64", -(1 << 60), 1 << 60),
+        ("uint64", 0, 1 << 62),
+        ("int32", -(1 << 30), 1 << 30),
+        ("uint32", 0, 1 << 31),
+    ],
+)
+def test_key_dtypes(rng, dtype, lo, hi):
+    n = 1024
+    keys = rng.integers(lo, hi, size=n).astype(dtype)
+    vals = np.arange(n, dtype=np.int64)
+    got = hbm_sort(
+        (jnp.asarray(keys), jnp.asarray(vals)),
+        interpret=INTERP, chunk=CHUNK, tile=TILE,
+    )
+    want = _ref_sort(keys, vals)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), w)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_float_keys(rng, dtype):
+    # Float keys sort in IEEE TOTAL order: -0.0 strictly before +0.0
+    # (lax.sort's comparator calls them equal and falls back to stability;
+    # documented divergence -- it is visible only on signed-zero ties).
+    n = 1024
+    keys = (rng.standard_normal(n) * 1e6).astype(dtype)
+    keys[:8] = [0.0, -0.0, np.inf, -np.inf, 1.5, -1.5, 1e-300 if dtype == "float64" else 1e-30, -1e-9]
+    vals = np.arange(n, dtype=np.int32)
+    got = hbm_sort(
+        (jnp.asarray(keys), jnp.asarray(vals)),
+        interpret=INTERP, chunk=CHUNK, tile=TILE,
+    )
+    u = keys.view(np.uint32 if dtype == "float32" else np.uint64)
+    sign = np.array(1, u.dtype) << (u.dtype.itemsize * 8 - 1)
+    mono = np.where(u & sign != 0, ~u, u | sign)
+    order = np.argsort(mono, kind="stable")
+    np.testing.assert_array_equal(
+        np.asarray(got[0]).view(u.dtype), u[order]  # bitwise, signed zeros too
+    )
+    np.testing.assert_array_equal(np.asarray(got[1]), order)
+
+
+def test_multi_operand_table_rows(rng):
+    # 4-column int64 table: key + 3 payload columns, the engine's row shape.
+    n = 2048
+    cols = [rng.integers(0, 1 << 40, size=n).astype(np.int64) for _ in range(4)]
+    got = hbm_sort(
+        tuple(jnp.asarray(c) for c in cols),
+        interpret=INTERP, chunk=CHUNK, tile=TILE,
+    )
+    want = _ref_sort(cols[0], *cols[1:])
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), w)
+
+
+def test_sort_by_key_hbm_path(rng, monkeypatch):
+    """The engine's hbm_pallas algorithm end-to-end on a Table."""
+    from pim_sort_merge_join_tpu.columnar.table import Table
+    from pim_sort_merge_join_tpu.ops import oracle
+    from pim_sort_merge_join_tpu.ops import sort as sort_ops
+    from pim_sort_merge_join_tpu.ops.pallas import hbm_sort as H
+
+    if not ON_TPU:
+        # Interpret mode + small sizes on CPU.
+        monkeypatch.setattr(H, "choose_sizes", lambda p: (CHUNK, TILE))
+        real = H.hbm_sort
+        monkeypatch.setattr(
+            H, "hbm_sort", lambda ops, **kw: real(ops, interpret=True, **kw)
+        )
+    rows = rng.integers(0, 1 << 20, size=(1000, 4)).astype(np.int64)
+    t = Table.from_numpy(rows, capacity=1024)
+    got = sort_ops.sort_by_key(t, 0, algorithm="hbm_pallas").to_numpy()
+    np.testing.assert_array_equal(got, oracle.sort_oracle(rows, 0))
+
+
+def test_choose_sizes_vmem_bounded():
+    for planes in (2, 3, 5, 9, 17):
+        c, t = choose_sizes(planes)
+        assert t <= c
+        assert c >= 256 and t >= 256
+        # chunk kernel working set stays within the ~16 MB/core VMEM.
+        assert 24 * planes * c <= 16 * 1024 * 1024
