@@ -14,9 +14,11 @@ sorts arrays of any size out of HBM with O(n log n) *sequential* traffic:
               output is cut into T-element tiles, a vectorized binary search
               (pure JAX, O(tiles * log L) work) finds for every tile the
               exact A/B input windows whose stable merge fills it, and a
-              Pallas kernel DMAs those windows into VMEM, bitonic-merges
-              2T elements, and writes the tile. One read + one write of the
-              array per pass, all slices sequential.
+              Pallas kernel DMAs those windows into VMEM, half-cleans
+              A against reversed-B (one shift-free compare pass), bitonic-
+              merges the surviving T-element min half, and writes the tile.
+              One read + one write of the array per pass, all slices
+              sequential.
 
 This is the same co-partitioning idea as the reference's stage-4 binary
 search split (app.c:585-633, merge_dpu.c:91-103), applied intra-chip.
@@ -511,28 +513,43 @@ def _merge_kernel(
     a_len = a_len_ref[i]
     b_len = b_len_ref[i]
 
-    rows2 = 2 * trows
-    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 1)
-    row_ix = jax.lax.broadcasted_iota(jnp.int32, (rows2, _LANES), 0)
+    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (trows, _LANES), 1)
+    row_ix = jax.lax.broadcasted_iota(jnp.int32, (trows, _LANES), 0)
 
-    planes = []
+    # [A ascending; B reversed] is bitonic of length 2T, but only the T
+    # smallest elements fill this tile -- so the 2T-wide work collapses:
+    # the merge's FIRST stage compares flat index i with i+T, i.e. A-part
+    # element i with reversed-B element i, elementwise with no shifts, and
+    # by Batcher's half-cleaner property its min half (a) contains exactly
+    # the T smallest and (b) is itself bitonic. The remaining log2(T)
+    # stages then run on T rows instead of 2T: ~2x less VPU work per pass
+    # than merging the full 2T and discarding the top half.
+    a_planes = []
+    b_planes = []
     for p in range(nplanes):
         is_key = p < nkeys
-        at = _shift_mask(abuf[slot, p], a_off, a_len, trows, is_key=is_key)
-        bt = _shift_mask(bbuf[slot, p], b_off, b_len, trows, is_key=is_key)
-        # [A ascending; B reversed] is bitonic.
-        planes.append(jnp.concatenate([at, _flip_flat(bt)], axis=0))
-    planes = tuple(planes)
+        a_planes.append(
+            _shift_mask(abuf[slot, p], a_off, a_len, trows, is_key=is_key)
+        )
+        b_planes.append(
+            _flip_flat(
+                _shift_mask(bbuf[slot, p], b_off, b_len, trows, is_key=is_key)
+            )
+        )
+    gt = _lex_gt(a_planes, b_planes, nkeys)
+    planes = tuple(
+        jnp.where(gt, b, a) for a, b in zip(a_planes, b_planes)
+    )
 
-    # Ascending bitonic merge, fully unrolled with static shifts.
-    j = tile
+    # Ascending bitonic merge of the min half, fully unrolled, static shifts.
+    j = tile // 2
     while j >= 1:
         planes = _substep_static(
             planes, nkeys, j, True, lane_ix, row_ix, _LANES
         )
         j //= 2
     for p in range(nplanes):
-        out_ref[p] = planes[p][:trows]
+        out_ref[p] = planes[p]
 
 
 def _merge_pass(
