@@ -21,6 +21,14 @@ def run(sizes, reps=5):
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: chained-slope programs at these sizes take
+    # minutes to (remotely) compile; repeated runs should time the device.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from bench.timing import opaque_zero, time_chained_ms
     from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
     from pim_sort_merge_join_tpu.ops.pallas.sort_kernel import (
