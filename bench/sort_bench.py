@@ -51,11 +51,14 @@ def run(sizes, reps=5):
         variants = {
             "xla_sort_i64": (xla_sort, keys64),
             "xla_sort_i32": (xla_sort, keys32),
-            "hbm_pallas_i64": (hbm, keys64),
-            "hbm_pallas_i32": (hbm, keys32),
         }
-        if n <= PALLAS_SORT_MAX:
-            variants["pallas_bitonic_i32"] = (sort_pairs_pallas, keys32)
+        # Pallas kernels only compile for TPU; off-TPU this bench still
+        # reports the XLA rows so the harness degrades instead of crashing.
+        if jax.default_backend() not in ("cpu",):
+            variants["hbm_pallas_i64"] = (hbm, keys64)
+            variants["hbm_pallas_i32"] = (hbm, keys32)
+            if n <= PALLAS_SORT_MAX:
+                variants["pallas_bitonic_i32"] = (sort_pairs_pallas, keys32)
 
         for name, (fn, keys) in variants.items():
 
