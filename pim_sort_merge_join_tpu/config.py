@@ -66,10 +66,16 @@ class EngineConfig:
 
     # --- algorithm selection ---
     join_algorithm: JoinAlgorithm = "sort_merge"
-    # "auto" = the HBM-scale Pallas sort on TPU at >=2^25 rows (the
-    # measured v5e crossover, ops/sort.py), jax.lax.sort below it.
+    # "auto" = the HBM-scale Pallas sort on TPU above the measured v5e
+    # crossover (2^24 rows for 32-bit keys, 2^27 for 64-bit; ops/sort.py,
+    # artifacts/sort_r02.json), jax.lax.sort below it.
     sort_algorithm: SortAlgorithm = "auto"
     partition_scheme: PartitionScheme = "range"
+    # Sort the 1:1 join's merge pass on int32 keys even for 64-bit tables
+    # (SURVEY.md §7 "pack key when key width permits"): cuts that sort's
+    # HBM traffic by a third. Requires every join-key VALUE to fit int32;
+    # ingest validates and raises instead of wrapping.
+    narrow_keys: bool = False
 
     # --- parallelism / capacity layout ---
     # Mesh axis name for the partition axis (the DPU-set analog, user.h:3).
@@ -103,6 +109,13 @@ class EngineConfig:
     # --- observability ---
     collect_metrics: bool = True
     checkpoint_dir: str | None = None
+
+    def __post_init__(self):
+        if self.narrow_keys and jnp.issubdtype(self.jnp_dtype(), jnp.floating):
+            raise ValueError(
+                "narrow_keys applies to integer key dtypes only "
+                f"(got dtype={self.dtype!r})"
+            )
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)

@@ -449,7 +449,7 @@ def distributed_join_core(
         out = join_ops.merge_join(
             a, b, config.join_key1, config.join_key2,
             mode=config.join_mode, presorted=not fused_local_join,
-            out_capacity=out_cap,
+            out_capacity=out_cap, narrow=config.narrow_keys,
         )
         return out.data, out.num_rows.reshape(1)
 
@@ -750,6 +750,11 @@ class DistributedQueryPipeline:
 
             check_dtype_range(rows1, dtype, "table1")
             check_dtype_range(rows2, dtype, "table2")
+        if self.config.narrow_keys:
+            from pim_sort_merge_join_tpu.utils.validate import check_narrow_keys
+
+            check_narrow_keys(rows1, self.config.join_key1, "table1")
+            check_narrow_keys(rows2, self.config.join_key2, "table2")
         with self.metrics.stage("host_to_device") as m:
             t1 = ShardedTable.from_numpy(rows1, self.mesh, axis, dtype=dtype)
             t2 = ShardedTable.from_numpy(rows2, self.mesh, axis, dtype=dtype)

@@ -58,7 +58,8 @@ def pipeline_core(t1: Table, t2: Table, config: EngineConfig) -> Table:
         m1 = filter_ops.predicate_mask(t1, config.predicate1)
         m2 = filter_ops.predicate_mask(t2, config.predicate2)
         return join_ops.filter_join_one_to_one(
-            t1, t2, config.join_key1, config.join_key2, m1, m2
+            t1, t2, config.join_key1, config.join_key2, m1, m2,
+            narrow=config.narrow_keys,
         )
     f1 = filter_ops.apply_filter(t1, config.predicate1)
     f2 = filter_ops.apply_filter(t2, config.predicate2)
@@ -76,6 +77,7 @@ def pipeline_core(t1: Table, t2: Table, config: EngineConfig) -> Table:
     return join_ops.merge_join(
         s1, s2, config.join_key1, config.join_key2,
         mode=config.join_mode, out_capacity=out_cap,
+        narrow=config.narrow_keys,
     )
 
 
@@ -132,6 +134,11 @@ class QueryPipeline:
             check_dtype_range(rows2, dtype, path2)
             rows1 = rows1.astype(dtype)
             rows2 = rows2.astype(dtype)
+        if self.config.narrow_keys:
+            from pim_sort_merge_join_tpu.utils.validate import check_narrow_keys
+
+            check_narrow_keys(rows1, self.config.join_key1, path1)
+            check_narrow_keys(rows2, self.config.join_key2, path2)
         with self.metrics.stage("host_to_device") as m:
             t1 = Table.from_numpy(rows1, capacity=capacity, dtype=dtype)
             t2 = Table.from_numpy(rows2, capacity=capacity, dtype=dtype)

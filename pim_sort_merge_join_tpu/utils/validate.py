@@ -41,6 +41,30 @@ def check_dtype_range(rows: np.ndarray, dtype, name: str = "input") -> None:
         )
 
 
+def check_narrow_keys(
+    rows: np.ndarray, key: int, name: str = "input"
+) -> None:
+    """Raise MalformedInputError when join-key values do not fit int32.
+
+    Guards ``config.narrow_keys`` (the 1:1 join's packed-key merge sort,
+    ops/join.py:_narrow32): the narrowing is order-preserving only for
+    values in [INT32_MIN, INT32_MAX) -- INT32_MAX itself is the narrow
+    sentinel.
+    """
+    if not rows.size:
+        return
+    info = np.iinfo(np.int32)
+    col = rows[:, key]
+    if col.max() >= info.max or col.min() < info.min:
+        from pim_sort_merge_join_tpu.engine.errors import MalformedInputError
+
+        raise MalformedInputError(
+            f"{name}: join-key values outside [{info.min}, {info.max}) -- "
+            "narrow_keys=True requires every key to fit int32; disable it "
+            "for this data"
+        )
+
+
 def check_table(table: Table, *, sorted_by: int | None = None) -> None:
     """Validate structural invariants of a Table (host-side, forces sync)."""
     n = int(jax.device_get(table.num_rows))
