@@ -21,11 +21,14 @@ import jax.numpy as jnp
 
 from pim_sort_merge_join_tpu.columnar.table import Table
 
-# Measured crossover on TPU v5e (bench/sort_bench.py): the HBM-scale Pallas
-# sort matches jax.lax.sort at 2^24 keys and beats it at 2^26 (XLA's sort
-# goes superlinear past ~2^23; the merge-path passes stay linear). "auto"
-# switches at this size on TPU backends.
-HBM_SORT_AUTO_MIN = 1 << 25
+# Measured crossovers on TPU v5e (bench/sort_bench.py, artifacts/
+# sort_r02.json): with single-plane (32-bit) keys the HBM-scale Pallas sort
+# beats jax.lax.sort from 2^24 keys up (47.1 vs 49.5 ms at 2^24, 104.0 vs
+# 113.5 at 2^25); 64-bit keys decompose into two planes, which doubles the
+# compare work, and the measured slopes put that crossover near 2^27.
+# "auto" switches per key width on TPU backends.
+HBM_SORT_AUTO_MIN_32 = 1 << 24
+HBM_SORT_AUTO_MIN_64 = 1 << 27
 
 
 def sort_by_key(table: Table, key: int, *, algorithm: str = "auto") -> Table:
@@ -33,16 +36,20 @@ def sort_by_key(table: Table, key: int, *, algorithm: str = "auto") -> Table:
 
     Algorithms: "xla" (`jax.lax.sort`), "hbm_pallas" (the HBM-scale Pallas
     chunk-bitonic + merge-path sort, any size), "pallas_bitonic" (the
-    VMEM-resident kernel), or "auto" -- hbm_pallas on TPU at or above
-    ``HBM_SORT_AUTO_MIN`` rows, xla otherwise.
+    VMEM-resident kernel), or "auto" -- hbm_pallas on TPU at or above the
+    measured per-key-width crossover (``HBM_SORT_AUTO_MIN_32`` /
+    ``HBM_SORT_AUTO_MIN_64``), xla otherwise.
     """
     keys = table.masked_keys(key)
     if algorithm == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        auto_min = (
+            HBM_SORT_AUTO_MIN_32
+            if jnp.dtype(table.dtype).itemsize <= 4
+            else HBM_SORT_AUTO_MIN_64
+        )
         algorithm = (
-            "hbm_pallas"
-            if on_tpu and table.capacity >= HBM_SORT_AUTO_MIN
-            else "xla"
+            "hbm_pallas" if on_tpu and table.capacity >= auto_min else "xla"
         )
     if algorithm == "hbm_pallas":
         from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
