@@ -21,7 +21,7 @@ import sys
 import numpy as np
 
 
-def run(sizes, dtype_name="int64", reps=5, out_path=None):
+def run(sizes, dtype_name="int64", reps=5, out_path=None, narrow=False):
     import functools
 
     import jax
@@ -48,6 +48,7 @@ def run(sizes, dtype_name="int64", reps=5, out_path=None):
             predicate1=smj.Predicate(0, ">", (3 * n) // 20),
             predicate2=smj.Predicate(0, ">", (3 * n) // 20),
             dtype=dtype_name,
+            narrow_keys=narrow,
         )
         dtype = config.jnp_dtype()
         t1 = Table.from_numpy(rows1, dtype=dtype)
@@ -76,6 +77,7 @@ def run(sizes, dtype_name="int64", reps=5, out_path=None):
             "bench": "pipeline_roofline",
             "rows_per_table": n,
             "dtype": dtype_name,
+            "narrow_keys": narrow,
             "device": str(jax.devices()[0]),
             "hbm_peak_gbps": peak,
             "device_ms": round(med_ms, 3),
@@ -99,12 +101,15 @@ def main(argv=None):
     ap.add_argument("--dtype", default="int64")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--narrow", action="store_true",
+                    help="narrow_keys=True (int32 merge-sort keys)")
     args = ap.parse_args(argv)
     run(
         [int(s) for s in args.rows.split(",")],
         dtype_name=args.dtype,
         reps=args.reps,
         out_path=args.out,
+        narrow=args.narrow,
     )
     return 0
 

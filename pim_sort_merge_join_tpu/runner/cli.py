@@ -53,6 +53,12 @@ def _add_run_parser(sub):
         help="element type (reference T modes + narrow int32, common.h:1-9)",
     )
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--narrow-keys",
+        action="store_true",
+        help="sort the join's merge pass on int32 keys (requires every "
+        "join-key value to fit int32; validated at ingest)",
+    )
     p.add_argument("--metrics", action="store_true", help="print stage metrics JSON")
     p.add_argument(
         "--profile",
@@ -92,6 +98,7 @@ def _cmd_run(args) -> int:
         join_algorithm=args.join_algorithm,
         dtype=args.dtype,
         checkpoint_dir=args.checkpoint_dir,
+        narrow_keys=args.narrow_keys,
     )
     import contextlib
 

@@ -170,7 +170,7 @@ def test_cli_run_and_generate(tmp_path):
         [sys.executable, "-m", "pim_sort_merge_join_tpu.runner.cli",
          "run", d1, d2, "-o", out, "--select-val1", "100",
          "--select-val2", "100", "--simulator", "4", "--distributed",
-         "--metrics"],
+         "--narrow-keys", "--metrics"],
         capture_output=True, text=True, env=env, cwd="/root/repo",
     )
     assert run.returncode == 0, run.stderr
