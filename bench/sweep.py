@@ -67,11 +67,14 @@ def run_sweep(sizes, *, skip_cpu=False, reps=5, key_distribution="unique"):
             return carry + res.num_rows
 
         med_ms = time_chained_ms(body, t1, t2, k1=1, k2=5, reps=reps)
+        # Under heavy host load the slope can clamp to 0.0 (t(k2) <= t(k1)
+        # within noise); report the throughput as null instead of dividing
+        # by zero -- the smoke test only checks structure, not numbers.
         rec = {
             "engine": "tpu",
             "rows": n,
             "wall_ms": round(med_ms, 3),
-            "rows_per_s": round(2 * n / (med_ms / 1000)),
+            "rows_per_s": round(2 * n / (med_ms / 1000)) if med_ms > 0 else None,
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)

@@ -108,6 +108,12 @@ class EngineConfig:
 
     # --- observability ---
     collect_metrics: bool = True
+    # Per-stage structured debug events (rows in/out, bytes, overflow
+    # headroom) through engine/logging.log_event -- the runtime analog of
+    # the reference's compile-time DEBUG row-count dumps (user.h:1,
+    # app.c:294-305, 379-400) read back via dpu_log_read. Costs extra
+    # device readbacks per stage, like the reference's DEBUG mode.
+    debug_log: bool = False
     checkpoint_dir: str | None = None
 
     def __post_init__(self):

@@ -606,6 +606,28 @@ class DistributedQueryPipeline:
                 jnp.sum(diag["sorted_rows2"])
             )
             m.bytes_moved = shuffled * row_bytes
+        if self.config.debug_log:
+            from pim_sort_merge_join_tpu.engine.logging import log_event
+
+            true1 = _host_diag(diag["exchange_true_rows1"])
+            true2 = _host_diag(diag["exchange_true_rows2"])
+            log_event(
+                "exchange",
+                bytes_moved=m.bytes_moved,
+                per_shard_capacity=exchange_capacity,
+                table1_max_shard_rows=int(true1.max()),
+                table2_max_shard_rows=int(true2.max()),
+                overflow_headroom=int(
+                    exchange_capacity - max(true1.max(), true2.max())
+                ),
+            )
+            counts = _host_diag(out.counts)
+            log_event(
+                "join",
+                rows_out=m.rows_out,
+                per_shard_capacity=out.data.shape[0] // p,
+                max_shard_rows=int(counts.max()),
+            )
         if check_overflow:
             self._check_exchange_overflow(diag, exchange_capacity)
             self._check_join_overflow(out)

@@ -96,13 +96,59 @@ class QueryPipeline:
             functools.partial(pipeline_core, config=self.config),
             donate_argnums=(0, 1) if self.config.donate_inputs else (),
         )
+        self._filter_probe = None
+
+    def _debug_filter_counts(self, t1: Table, t2: Table) -> None:
+        """DEBUG-mode per-stage row dump (reference app.c:294-305 analog).
+
+        Costs one extra device pass per table, only when debug_log is on --
+        the fused pipeline never materializes the post-filter count
+        otherwise.
+        """
+        from pim_sort_merge_join_tpu.engine.logging import log_event
+
+        if self._filter_probe is None:
+            import jax.numpy as jnp
+
+            cfg = self.config
+
+            def probe(a: Table, b: Table):
+                ma = filter_ops.predicate_mask(a, cfg.predicate1) & a.valid_mask()
+                mb = filter_ops.predicate_mask(b, cfg.predicate2) & b.valid_mask()
+                return (
+                    jnp.sum(ma, dtype=jnp.int32),
+                    jnp.sum(mb, dtype=jnp.int32),
+                )
+
+            self._filter_probe = jax.jit(probe)
+        c1, c2 = self._filter_probe(t1, t2)
+        log_event(
+            "filter",
+            table1_rows_in=int(t1.num_rows),
+            table1_rows_out=int(c1),
+            table2_rows_in=int(t2.num_rows),
+            table2_rows_out=int(c2),
+            predicate1=self.config.predicate1.describe(),
+            predicate2=self.config.predicate2.describe(),
+        )
 
     # -- device path -------------------------------------------------------
     def run_tables(self, t1: Table, t2: Table) -> Table:
+        if self.config.debug_log:
+            self._debug_filter_counts(t1, t2)
         with self.metrics.stage("execute") as m:
             result = self._jitted(t1, t2)
             result = jax.block_until_ready(result)
             m.rows_out = int(result.num_rows)
+        if self.config.debug_log:
+            from pim_sort_merge_join_tpu.engine.logging import log_event
+
+            log_event(
+                "join",
+                rows_out=m.rows_out,
+                output_capacity=result.capacity,
+                overflow_headroom=result.capacity - m.rows_out,
+            )
         # Inner joins report the TRUE match count in num_rows even past the
         # output capacity (ops/join.py merge_join_inner); rows beyond the
         # capacity were dropped, so surface that instead of silently
@@ -127,6 +173,16 @@ class QueryPipeline:
             rows1 = csv_io.load_csv_numpy(path1, dtype=np.int64)
             rows2 = csv_io.load_csv_numpy(path2, dtype=np.int64)
             m.rows_in = rows1.shape[0] + rows2.shape[0]
+        if self.config.debug_log:
+            from pim_sort_merge_join_tpu.engine.logging import log_event
+
+            log_event(
+                "ingest",
+                table1_rows=rows1.shape[0],
+                table2_rows=rows2.shape[0],
+                table1_bytes=rows1.nbytes,
+                table2_bytes=rows2.nbytes,
+            )
         if np.dtype(dtype).itemsize < 8:
             from pim_sort_merge_join_tpu.utils.validate import check_dtype_range
 
@@ -151,6 +207,15 @@ class QueryPipeline:
                 csv_io.write_csv(output_path, out, names=result.names)
                 m.rows_out = out.shape[0]
                 m.bytes_moved = out.nbytes
+            if self.config.debug_log:
+                from pim_sort_merge_join_tpu.engine.logging import log_event
+
+                log_event(
+                    "materialize",
+                    rows=out.shape[0],
+                    bytes=out.nbytes,
+                    path=output_path,
+                )
         return result
 
     def metrics_json(self) -> str:

@@ -61,6 +61,13 @@ def _add_run_parser(sub):
     )
     p.add_argument("--metrics", action="store_true", help="print stage metrics JSON")
     p.add_argument(
+        "--debug",
+        action="store_true",
+        help="emit per-stage structured debug events (rows in/out, bytes, "
+        "overflow headroom) to stderr -- the reference's DEBUG mode "
+        "(user.h:1, app.c:294-305) as a runtime flag",
+    )
+    p.add_argument(
         "--profile",
         metavar="DIR",
         default=None,
@@ -89,6 +96,11 @@ def _cmd_run(args) -> int:
 
     from pim_sort_merge_join_tpu.config import EngineConfig, Predicate
 
+    if args.debug:
+        from pim_sort_merge_join_tpu.engine.logging import configure
+
+        configure()
+
     config = EngineConfig(
         predicate1=Predicate(args.select_col1, args.select_op1, args.select_val1),
         predicate2=Predicate(args.select_col2, args.select_op2, args.select_val2),
@@ -99,6 +111,7 @@ def _cmd_run(args) -> int:
         dtype=args.dtype,
         checkpoint_dir=args.checkpoint_dir,
         narrow_keys=args.narrow_keys,
+        debug_log=args.debug,
     )
     import contextlib
 

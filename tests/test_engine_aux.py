@@ -155,6 +155,82 @@ def test_structured_logging(capsys):
     assert payload["rows"] == 123
 
 
+def _capture_events(buf):
+    lines = [l for l in buf.getvalue().strip().splitlines() if l]
+    return [json.loads(l) for l in lines]
+
+
+def test_debug_log_pipeline_stages(tmp_path, small_tables_factory=None):
+    """config.debug_log wires log_event through a real pipeline run -- the
+    runtime analog of the reference's DEBUG per-stage row dumps
+    (user.h:1; app.c:294-305, 379-400)."""
+    import io
+
+    from pim_sort_merge_join_tpu.columnar.generate import generate_table
+    from pim_sort_merge_join_tpu.engine import logging as elog
+
+    buf = io.StringIO()
+    elog.configure(stream=buf)
+    rows1 = generate_table(300, seed=1)
+    rows2 = generate_table(300, seed=2)
+    d1, d2 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    csv_io.write_csv(d1, rows1)
+    csv_io.write_csv(d2, rows2)
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", 50),
+        predicate2=Predicate(0, ">", 50),
+        debug_log=True,
+    )
+    pipe = QueryPipeline(cfg)
+    result = pipe.run_csv(d1, d2, str(tmp_path / "r.csv"))
+    events = {e["event"]: e for e in _capture_events(buf)}
+    assert events["ingest"]["table1_rows"] == 300
+    filt = events["filter"]
+    assert filt["table1_rows_in"] == 300
+    want = oracle.pipeline_oracle(
+        rows1, rows2, pred1=(0, ">", 50), pred2=(0, ">", 50)
+    )
+    assert filt["table1_rows_out"] == int(np.sum(rows1[:, 0] > 50))
+    join = events["join"]
+    assert join["rows_out"] == want.shape[0] == int(result.num_rows)
+    assert join["overflow_headroom"] == join["output_capacity"] - join["rows_out"]
+    mat = events["materialize"]
+    assert mat["rows"] == want.shape[0]
+
+
+def test_debug_log_distributed_stages():
+    import io
+
+    import jax
+    from jax.sharding import Mesh
+
+    from pim_sort_merge_join_tpu.columnar.generate import generate_table
+    from pim_sort_merge_join_tpu.engine import logging as elog
+    from pim_sort_merge_join_tpu.engine.distributed import DistributedQueryPipeline
+
+    buf = io.StringIO()
+    elog.configure(stream=buf)
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", 20),
+        predicate2=Predicate(0, ">", 20),
+        debug_log=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("p",))
+    pipe = DistributedQueryPipeline(cfg, mesh)
+    rows1 = generate_table(400, seed=3)
+    rows2 = generate_table(400, seed=4)
+    out = pipe.run_arrays(rows1, rows2)
+    events = {e["event"]: e for e in _capture_events(buf)}
+    exch = events["exchange"]
+    assert exch["per_shard_capacity"] >= exch["table1_max_shard_rows"]
+    assert exch["overflow_headroom"] >= 0
+    want = oracle.pipeline_oracle(
+        rows1, rows2, pred1=(0, ">", 20), pred2=(0, ">", 20)
+    )
+    assert events["join"]["rows_out"] == want.shape[0]
+    np.testing.assert_array_equal(out.to_numpy(), want)
+
+
 def test_cli_run_and_generate(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
