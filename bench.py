@@ -63,7 +63,10 @@ def main():
     from pim_sort_merge_join_tpu.engine.pipeline import pipeline_core
 
     rows1, rows2 = _load_inputs()
-    config = smj.EngineConfig()
+    # Resolve narrow_keys="auto" exactly as QueryPipeline.run_csv would:
+    # the reference generator's keys are <= 3N (generate_data.py:9), so the
+    # default path takes the int32 merge-sort keys.
+    config = smj.EngineConfig().resolve_narrow(rows1[:, 0], rows2[:, 0])
 
     dtype = config.jnp_dtype()
     t1 = Table.from_numpy(rows1, dtype=dtype)

@@ -41,7 +41,7 @@ def run_sweep(sizes, *, skip_cpu=False, reps=5, key_distribution="unique"):
         pred = (0, ">", thr)
         cfg = smj.EngineConfig(
             predicate1=smj.Predicate(*pred), predicate2=smj.Predicate(*pred)
-        )
+        ).resolve_narrow(rows1[:, 0], rows2[:, 0])
 
         want_rows = None
         if not skip_cpu:

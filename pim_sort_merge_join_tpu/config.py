@@ -72,10 +72,19 @@ class EngineConfig:
     sort_algorithm: SortAlgorithm = "auto"
     partition_scheme: PartitionScheme = "range"
     # Sort the 1:1 join's merge pass on int32 keys even for 64-bit tables
-    # (SURVEY.md §7 "pack key when key width permits"): cuts that sort's
-    # HBM traffic by a third. Requires every join-key VALUE to fit int32;
-    # ingest validates and raises instead of wrapping.
-    narrow_keys: bool = False
+    # (SURVEY.md §7 "pack key when key width permits"): int64 compares cost
+    # two words per comparator step on the VPU, so narrowing speeds every
+    # key sort. Valid only when every join-key VALUE fits int32.
+    #   "auto" (default) -- the DRIVER layer decides per query: run_csv
+    #     probes the host arrays; the distributed pipelines probe the
+    #     global device array (one replicated reduce, so every process of
+    #     a multi-process run decides identically -- per-process host
+    #     probes could disagree on shards and desynchronize the SPMD
+    #     program). Direct pipeline_core callers get the wide path unless
+    #     they resolve explicitly (see resolve_narrow).
+    #   True -- force on; ingest validates the fit and raises.
+    #   False -- force off.
+    narrow_keys: bool | str = "auto"
 
     # --- parallelism / capacity layout ---
     # Mesh axis name for the partition axis (the DPU-set analog, user.h:3).
@@ -117,7 +126,14 @@ class EngineConfig:
     checkpoint_dir: str | None = None
 
     def __post_init__(self):
-        if self.narrow_keys and jnp.issubdtype(self.jnp_dtype(), jnp.floating):
+        if self.narrow_keys not in (True, False, "auto"):
+            raise ValueError(
+                f"narrow_keys must be True, False, or 'auto' "
+                f"(got {self.narrow_keys!r})"
+            )
+        if self.narrow_keys is True and jnp.issubdtype(
+            self.jnp_dtype(), jnp.floating
+        ):
             raise ValueError(
                 "narrow_keys applies to integer key dtypes only "
                 f"(got dtype={self.dtype!r})"
@@ -125,6 +141,33 @@ class EngineConfig:
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
+
+    def narrowable(self) -> bool:
+        """Whether narrow-key dispatch can apply to this dtype at all."""
+        dt = self.jnp_dtype()
+        return bool(
+            jnp.issubdtype(dt, jnp.integer) and jnp.dtype(dt).itemsize == 8
+        )
+
+    def resolve_narrow(self, *key_columns) -> "EngineConfig":
+        """Return a copy with ``narrow_keys`` resolved to a concrete bool.
+
+        ``key_columns`` are host numpy arrays of join-key values (one per
+        table); "auto" resolves to True iff every value fits the int32
+        narrowing window [INT32_MIN, INT32_MAX) (ops/join.py:_narrow32).
+        """
+        if self.narrow_keys != "auto":
+            return self
+        resolved = False
+        if self.narrowable() and key_columns:
+            import numpy as np
+
+            info = np.iinfo(np.int32)
+            resolved = all(
+                c.size == 0 or (c.min() >= info.min and c.max() < info.max)
+                for c in key_columns
+            )
+        return dataclasses.replace(self, narrow_keys=resolved)
 
 
 def reference_config() -> EngineConfig:

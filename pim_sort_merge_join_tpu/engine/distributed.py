@@ -574,19 +574,49 @@ class DistributedQueryPipeline:
         self.mesh = mesh
         self.metrics = MetricsCollector(enabled=self.config.collect_metrics)
         self._jitted = {}
+        self._narrow_probe = None
+        self.resolved_narrow_keys: bool | None = None
 
-    def _get_jitted(self, exchange_capacity: int):
-        key = exchange_capacity
+    def _get_jitted(self, exchange_capacity: int, narrow: bool):
+        key = (exchange_capacity, narrow)
         if key not in self._jitted:
+            import dataclasses
+
+            cfg = dataclasses.replace(self.config, narrow_keys=narrow)
             self._jitted[key] = jax.jit(
                 functools.partial(
                     distributed_pipeline_core,
-                    config=self.config,
+                    config=cfg,
                     mesh=self.mesh,
                     exchange_capacity=exchange_capacity,
                 )
             )
         return self._jitted[key]
+
+    def _resolve_narrow_device(self, t1: ShardedTable, t2: ShardedTable) -> bool:
+        """Resolve narrow_keys="auto" from the GLOBAL sharded key columns.
+
+        The reduce runs over the global jax.Array view, so its (replicated)
+        result is identical on every process of a multi-process run --
+        per-process HOST probes see only their shard and could disagree,
+        desynchronizing the SPMD program (the round-2 auto-enable blocker).
+        Probes raw buffers; padding zeros can only keep the range inside
+        int32, never push a valid value out.
+        """
+        if not self.config.narrowable():
+            return False
+        if self._narrow_probe is None:
+            k1c, k2c = self.config.join_key1, self.config.join_key2
+
+            def probe(d1, d2):
+                lo = jnp.minimum(jnp.min(d1[:, k1c]), jnp.min(d2[:, k2c]))
+                hi = jnp.maximum(jnp.max(d1[:, k1c]), jnp.max(d2[:, k2c]))
+                return lo, hi
+
+            self._narrow_probe = jax.jit(probe)
+        lo, hi = self._narrow_probe(t1.data, t2.data)
+        info = np.iinfo(np.int32)
+        return bool(int(lo) >= info.min and int(hi) < info.max)
 
     def run_tables(
         self, t1: ShardedTable, t2: ShardedTable, *, check_overflow: bool = True
@@ -596,7 +626,13 @@ class DistributedQueryPipeline:
         exchange_capacity = int(shard_cap * self.config.exchange_slack)
         # Round to a lane-friendly multiple.
         exchange_capacity = -(-exchange_capacity // 128) * 128
-        fn = self._get_jitted(exchange_capacity)
+        narrow = (
+            self.config.narrow_keys
+            if self.config.narrow_keys != "auto"
+            else self._resolve_narrow_device(t1, t2)
+        )
+        self.resolved_narrow_keys = bool(narrow)
+        fn = self._get_jitted(exchange_capacity, bool(narrow))
         with self.metrics.stage("execute") as m:
             out, diag = fn(t1, t2)
             out = jax.block_until_ready(out)
@@ -772,7 +808,7 @@ class DistributedQueryPipeline:
 
             check_dtype_range(rows1, dtype, "table1")
             check_dtype_range(rows2, dtype, "table2")
-        if self.config.narrow_keys:
+        if self.config.narrow_keys is True:
             from pim_sort_merge_join_tpu.utils.validate import check_narrow_keys
 
             check_narrow_keys(rows1, self.config.join_key1, "table1")

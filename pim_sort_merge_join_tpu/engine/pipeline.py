@@ -92,11 +92,49 @@ class QueryPipeline:
     def __init__(self, config: EngineConfig | None = None):
         self.config = config or EngineConfig()
         self.metrics = MetricsCollector(enabled=self.config.collect_metrics)
-        self._jitted = jax.jit(
-            functools.partial(pipeline_core, config=self.config),
-            donate_argnums=(0, 1) if self.config.donate_inputs else (),
-        )
+        self._jitted = {}
         self._filter_probe = None
+        self._narrow_probe = None
+        # Concrete narrow_keys decision of the most recent run (observability
+        # + tests); None until a query resolves it.
+        self.resolved_narrow_keys: bool | None = None
+
+    def _jit_for(self, narrow: bool):
+        if narrow not in self._jitted:
+            import dataclasses
+
+            cfg = dataclasses.replace(self.config, narrow_keys=narrow)
+            self._jitted[narrow] = jax.jit(
+                functools.partial(pipeline_core, config=cfg),
+                donate_argnums=(0, 1) if cfg.donate_inputs else (),
+            )
+        return self._jitted[narrow]
+
+    def _resolve_narrow_device(self, t1: Table, t2: Table) -> bool:
+        """Resolve narrow_keys="auto" from device tables (one tiny readback).
+
+        Probes the RAW key buffers (padding included): padding zeros can
+        only keep the range inside int32, never push a valid value out, so
+        the decision is safe and identical to the host probe on real data.
+        """
+        if not self.config.narrowable():
+            return False
+        if self._narrow_probe is None:
+            import jax.numpy as jnp
+
+            k1c, k2c = self.config.join_key1, self.config.join_key2
+
+            def probe(a: Table, b: Table):
+                lo = jnp.minimum(jnp.min(a.data[:, k1c]), jnp.min(b.data[:, k2c]))
+                hi = jnp.maximum(jnp.max(a.data[:, k1c]), jnp.max(b.data[:, k2c]))
+                return lo, hi
+
+            self._narrow_probe = jax.jit(probe)
+        lo, hi = self._narrow_probe(t1, t2)
+        import numpy as np
+
+        info = np.iinfo(np.int32)
+        return bool(int(lo) >= info.min and int(hi) < info.max)
 
     def _debug_filter_counts(self, t1: Table, t2: Table) -> None:
         """DEBUG-mode per-stage row dump (reference app.c:294-305 analog).
@@ -133,11 +171,18 @@ class QueryPipeline:
         )
 
     # -- device path -------------------------------------------------------
-    def run_tables(self, t1: Table, t2: Table) -> Table:
+    def run_tables(self, t1: Table, t2: Table, *, narrow: bool | None = None) -> Table:
+        if narrow is None:
+            narrow = (
+                self.config.narrow_keys
+                if self.config.narrow_keys != "auto"
+                else self._resolve_narrow_device(t1, t2)
+            )
+        self.resolved_narrow_keys = bool(narrow)
         if self.config.debug_log:
             self._debug_filter_counts(t1, t2)
         with self.metrics.stage("execute") as m:
-            result = self._jitted(t1, t2)
+            result = self._jit_for(bool(narrow))(t1, t2)
             result = jax.block_until_ready(result)
             m.rows_out = int(result.num_rows)
         if self.config.debug_log:
@@ -190,17 +235,25 @@ class QueryPipeline:
             check_dtype_range(rows2, dtype, path2)
             rows1 = rows1.astype(dtype)
             rows2 = rows2.astype(dtype)
-        if self.config.narrow_keys:
+        if self.config.narrow_keys is True:
             from pim_sort_merge_join_tpu.utils.validate import check_narrow_keys
 
             check_narrow_keys(rows1, self.config.join_key1, path1)
             check_narrow_keys(rows2, self.config.join_key2, path2)
+        narrow = None
+        if self.config.narrow_keys == "auto":
+            # Host probe: resolve the narrow-key dispatch from the numpy
+            # arrays while they are still on host (free vs a device
+            # readback).
+            narrow = self.config.resolve_narrow(
+                rows1[:, self.config.join_key1], rows2[:, self.config.join_key2]
+            ).narrow_keys
         with self.metrics.stage("host_to_device") as m:
             t1 = Table.from_numpy(rows1, capacity=capacity, dtype=dtype)
             t2 = Table.from_numpy(rows2, capacity=capacity, dtype=dtype)
             jax.block_until_ready((t1, t2))
             m.bytes_moved = rows1.nbytes + rows2.nbytes
-        result = self.run_tables(t1, t2)
+        result = self.run_tables(t1, t2, narrow=narrow)
         if output_path is not None:
             with self.metrics.stage("materialize") as m:
                 out = result.to_numpy()

@@ -181,7 +181,10 @@ def _one_to_one_merged(
     cap1, cap2 = t1.capacity, t2.capacity
     n = cap1 + cap2
 
-    if narrow and jnp.issubdtype(k1.dtype, jnp.integer) and k1.dtype.itemsize == 8:
+    # `narrow is True`: the config's "auto" sentinel must be resolved by the
+    # driver layer before tracing (config.resolve_narrow / the pipelines'
+    # device probe); an unresolved "auto" takes the wide path.
+    if narrow is True and jnp.issubdtype(k1.dtype, jnp.integer) and k1.dtype.itemsize == 8:
         k1, k2 = _narrow32(k1), _narrow32(k2)
 
     # --- 1. merge the key columns (t1 wins ties) ---------------------------
@@ -194,41 +197,49 @@ def _one_to_one_merged(
     is2 = (mpos >= cap1).astype(jnp.int32)
     is1 = 1 - is2
 
-    # Equal-key runs of the merged sequence.
+    # Equal-key runs of the merged sequence. Because ties sort by position
+    # and every t1 position precedes every t2 position, WITHIN a run all
+    # side-1 elements come before all side-2 elements -- which makes every
+    # side-2 quantity forward-computable (a side-2 element has already seen
+    # its whole side-1 partner set). Only the side-1 match test needs one
+    # backward broadcast (its run's side-2 total lies ahead of it).
     head = jnp.concatenate([jnp.ones((1,), jnp.bool_), mkeys[1:] != mkeys[:-1]])
     tail = jnp.concatenate([mkeys[1:] != mkeys[:-1], jnp.ones((1,), jnp.bool_)])
     iota = jnp.arange(n, dtype=jnp.int32)
 
-    # Per-side exclusive prefix counts and their values at run heads.
-    # Side-1 counts are scanned; side-0 counts follow from algebra
+    # Per-side inclusive prefix counts. Side-1 follows from algebra
     # (c1 + c2 = position + 1 everywhere), halving the scan passes.
-    c2 = jnp.cumsum(is2, dtype=jnp.int32)  # inclusive
+    c2 = jnp.cumsum(is2, dtype=jnp.int32)
     c1 = (iota + 1) - c2
-    run_start = _head_broadcast(head, iota)
-    base2 = _head_broadcast(head, c2 - is2)  # side-1 count before my run
-    base1 = run_start - base2
+    # Per-side counts before my run (values at run heads, broadcast fwd).
+    base2 = _head_broadcast(head, c2 - is2)
+    base1 = _head_broadcast(head, c1 - is1)
     # Occurrence rank within (run, side).
     rank = jnp.where(is2 == 1, c2 - is2 - base2, c1 - is1 - base1)
-    # Run totals per side: prefix count at the run's END, broadcast back
-    # (reverse cummin of an inclusive nondecreasing prefix works because
-    # values within a run only grow); side-0 again by algebra from the
-    # run's end position.
-    run_end = jax.lax.cummin(jnp.where(tail, iota, n)[::-1])[::-1]
-    end2 = jax.lax.cummin(jnp.where(tail, c2, n)[::-1])[::-1]
-    end1 = (run_end + 1) - end2
-    cnt1_run = end1 - base1
-    cnt2_run = end2 - base2
+    live = mkeys != key_sentinel(mkeys.dtype)
 
     # 1:1 semantics (join.c:160-173): k-th t1 duplicate pairs k-th t2
-    # duplicate; a run yields min(cnt1, cnt2) rows.
-    match = jnp.where(
-        is2 == 1, rank < cnt1_run, rank < cnt2_run
-    ) & (mkeys != key_sentinel(mkeys.dtype))
-    matched1 = (match & (is2 == 0)).astype(jnp.int32)
-    m0 = jnp.cumsum(matched1, dtype=jnp.int32)  # inclusive matched-t1 count
-    slot_base = _head_broadcast(head, m0 - matched1)
+    # duplicate; a run yields min(cnt1, cnt2) rows. A side-2 element of
+    # rank r matches iff r < (side-1 elements in my run) = c1 - base1,
+    # all of which precede it.
+    matched2 = (is2 == 1) & (rank < (c1 - base1)) & live
+    # Matched side-2 elements are the "witnesses": in merged (= key) order
+    # they enumerate the output slots directly, no per-run base needed.
+    m2cum = jnp.cumsum(matched2.astype(jnp.int32), dtype=jnp.int32)
+    # A side-1 element needs its run's side-2 TOTAL: c2 at the run's end,
+    # broadcast backward (reverse cummin of an inclusive nondecreasing
+    # prefix) -- the single remaining backward scan.
+    end2 = jax.lax.cummin(jnp.where(tail, c2, n)[::-1])[::-1]
+    matched1 = (is2 == 0) & (rank < (end2 - base2)) & live
+    # Side-1 slots: witnesses before my run (= m2cum here, since my run's
+    # witnesses all lie after me) plus my rank. Side-2 slots: my witness
+    # index.
     big = jnp.int32(n)
-    dest = jnp.where(match, slot_base + rank, big)
+    dest = jnp.where(
+        matched2,
+        m2cum - 1,
+        jnp.where(matched1, m2cum + rank, big),
+    )
 
     # --- 2. un-merge: slots back to original row positions -----------------
     # mpos is a permutation of [0, n); sorting by it inverts the merge.
@@ -236,20 +247,24 @@ def _one_to_one_merged(
     dest1 = dest_by_pos[:cap1]
     dest2 = dest_by_pos[cap1:]
 
-    num_out = jnp.sum(matched1, dtype=jnp.int32)
+    num_out = jnp.sum(matched2, dtype=jnp.int32)
 
     # --- 3. emit: permute each table's rows to their output slots ----------
+    # is_stable=False: matched rows carry UNIQUE dest slots, and dropped
+    # rows (dest = big) are zeroed by the valid_out mask below, so their
+    # relative order is irrelevant -- skipping stability spares XLA the
+    # synthetic tie-break iota plane in both payload sorts.
     ops1 = jax.lax.sort(
         (dest1,) + tuple(t1.data[:, c] for c in range(t1.ncol)),
         num_keys=1,
-        is_stable=True,
+        is_stable=False,
     )
     part1 = jnp.stack(ops1[1:], axis=1)[:cap1]
     keep2 = [c for c in range(t2.ncol) if c != key2]
     ops2 = jax.lax.sort(
         (dest2,) + tuple(t2.data[:, c] for c in keep2),
         num_keys=1,
-        is_stable=True,
+        is_stable=False,
     )
     part2 = jnp.stack(ops2[1:], axis=1)[:cap1] if cap2 >= cap1 else jnp.concatenate(
         [

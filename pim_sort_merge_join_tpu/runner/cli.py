@@ -110,7 +110,9 @@ def _cmd_run(args) -> int:
         join_algorithm=args.join_algorithm,
         dtype=args.dtype,
         checkpoint_dir=args.checkpoint_dir,
-        narrow_keys=args.narrow_keys,
+        # --narrow-keys forces the narrowing on (with ingest validation);
+        # without it the engine's "auto" probe decides per query.
+        narrow_keys=True if args.narrow_keys else "auto",
         debug_log=args.debug,
     )
     import contextlib

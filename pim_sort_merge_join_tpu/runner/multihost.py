@@ -87,6 +87,11 @@ def run_query(args) -> int:
     if jax.process_index() == 0:
         csv_io.write_csv(args.output, result)
         print(f"wrote {result.shape[0]} rows to {args.output}", file=sys.stderr)
+        # The narrow decision is made from a replicated device reduce, so
+        # every process resolved the same value; print it for inspection.
+        print(
+            f"narrow_keys resolved={pipe.resolved_narrow_keys}", file=sys.stderr
+        )
         print(pipe.metrics_json())
     return 0
 

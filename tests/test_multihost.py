@@ -127,3 +127,71 @@ def test_two_process_pipeline_matches_oracle(tmp_path):
     with open(out_path) as f:
         got = f.read()
     assert got == buf.getvalue(), "multi-process result.csv is not byte-exact"
+    # Keys <= 3n fit int32: the auto-narrow probe must have resolved True
+    # (and identically) across both processes.
+    assert b"narrow_keys resolved=True" in outs[0][2]
+
+
+def _run_two_process(tmp_path, r1, r2, sel, out_name="result.csv"):
+    p1, p2 = str(tmp_path / "d1.csv"), str(tmp_path / "d2.csv")
+    out_path = str(tmp_path / out_name)
+    _write_csv(p1, r1)
+    _write_csv(p2, r2)
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        cmd = [
+            sys.executable, "-m", "pim_sort_merge_join_tpu.runner.multihost",
+            p1, p2, "-o", out_path,
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+            "--cpu-devices", "4",
+            "--select-val1", str(sel), "--select-val2", str(sel),
+            "--exchange-slack", "3.0",
+        ]
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, stdout, stderr))
+    for rc, stdout, stderr in outs:
+        assert rc == 0, f"process failed:\n{stderr.decode()[-2000:]}"
+    return out_path, outs
+
+
+@pytest.mark.slow
+def test_two_process_auto_narrow_agreement(tmp_path):
+    """One process's CSV shard holds the only int32-overflowing key: a
+    per-process host probe would disagree (the round-2 SPMD-mismatch
+    blocker); the engine's global device probe must resolve False on BOTH
+    processes and still produce a byte-exact result."""
+    rng = np.random.default_rng(23)
+    n = 400
+    k1 = rng.permutation(np.arange(1, 3 * n))[:n].astype(np.int64)
+    k2 = rng.permutation(np.arange(1, 3 * n))[:n].astype(np.int64)
+    # The LAST row lives in process 1's byte range of the csv shard split.
+    k1[-1] = 2**40
+    r1 = np.column_stack([k1, rng.integers(1, 3 * n, (n, 3))]).astype(np.int64)
+    r2 = np.column_stack([k2, rng.integers(1, 3 * n, (n, 3))]).astype(np.int64)
+    sel = n // 3
+    out_path, outs = _run_two_process(tmp_path, r1, r2, sel)
+    assert b"narrow_keys resolved=False" in outs[0][2]
+    want = oracle.pipeline_oracle(
+        r1, r2, pred1=(0, ">", sel), pred2=(0, ">", sel)
+    )
+    buf = io.StringIO()
+    csv_io.write_csv(buf, want)
+    with open(out_path) as f:
+        assert f.read() == buf.getvalue()

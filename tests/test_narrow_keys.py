@@ -110,3 +110,90 @@ def test_narrow_distributed_out_of_range_raises(small_tables):
 def test_narrow_rejects_float_dtype():
     with pytest.raises(ValueError, match="narrow_keys"):
         EngineConfig(dtype="float64", narrow_keys=True)
+
+
+# --- narrow_keys="auto" (the round-3 default) -------------------------------
+
+
+def test_auto_narrow_resolves_on_for_reference_style_keys(small_tables, tmp_path):
+    r1, r2 = small_tables
+    pipe = QueryPipeline(_cfg())  # default narrow_keys="auto"
+    got = _pipe_out(_cfg(), r1, r2, tmp_path, "auto")
+    assert QueryPipeline(_cfg()).config.narrow_keys == "auto"
+    p1, p2 = str(tmp_path / "a1.csv"), str(tmp_path / "a2.csv")
+    csv_io.write_csv(p1, r1)
+    csv_io.write_csv(p2, r2)
+    out = pipe.run_csv(p1, p2)
+    assert pipe.resolved_narrow_keys is True
+    want = oracle.pipeline_oracle(r1, r2, pred1=(0, ">", 100), pred2=(0, ">", 100))
+    np.testing.assert_array_equal(out.to_numpy(), want)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_auto_narrow_resolves_off_for_wide_keys(rng, tmp_path):
+    n = 200
+    keys = rng.integers(2**40, 2**45, size=n)
+    r1 = np.column_stack([keys, rng.integers(0, 99, (n, 3))]).astype(np.int64)
+    r2 = np.column_stack(
+        [rng.permutation(keys), rng.integers(0, 99, (n, 3))]
+    ).astype(np.int64)
+    cfg = _cfg(predicate1=Predicate(1, ">", -1), predicate2=Predicate(1, ">", -1))
+    pipe = QueryPipeline(cfg)
+    p1, p2 = str(tmp_path / "w1.csv"), str(tmp_path / "w2.csv")
+    csv_io.write_csv(p1, r1)
+    csv_io.write_csv(p2, r2)
+    out = pipe.run_csv(p1, p2)
+    assert pipe.resolved_narrow_keys is False
+    want = oracle.pipeline_oracle(r1, r2, pred1=(1, ">", -1), pred2=(1, ">", -1))
+    np.testing.assert_array_equal(out.to_numpy(), want)
+
+
+def test_auto_narrow_device_probe_run_tables(small_tables):
+    # run_tables has no host arrays: "auto" resolves via the device probe.
+    from pim_sort_merge_join_tpu.columnar.table import Table
+
+    r1, r2 = small_tables
+    pipe = QueryPipeline(_cfg())
+    out = pipe.run_tables(Table.from_numpy(r1), Table.from_numpy(r2))
+    assert pipe.resolved_narrow_keys is True
+    want = oracle.pipeline_oracle(r1, r2, pred1=(0, ">", 100), pred2=(0, ">", 100))
+    np.testing.assert_array_equal(out.to_numpy(), want)
+
+    wide1 = r1.copy()
+    wide1[3, 0] = 2**33  # filtered IN (pred on col0 > 100) but irrelevant:
+    pipe2 = QueryPipeline(_cfg())
+    out2 = pipe2.run_tables(Table.from_numpy(wide1), Table.from_numpy(r2))
+    assert pipe2.resolved_narrow_keys is False
+    want2 = oracle.pipeline_oracle(
+        wide1, r2, pred1=(0, ">", 100), pred2=(0, ">", 100)
+    )
+    np.testing.assert_array_equal(out2.to_numpy(), want2)
+
+
+def test_auto_narrow_distributed_global_probe(small_tables):
+    """The distributed probe reduces over the GLOBAL array: a wide key in
+    any single shard flips the decision for every shard identically (the
+    multi-process agreement property, exercised for real in
+    test_multihost.py)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from pim_sort_merge_join_tpu.engine.distributed import DistributedQueryPipeline
+
+    r1, r2 = small_tables
+    mesh = Mesh(np.array(jax.devices()[:8]), ("p",))
+    pipe = DistributedQueryPipeline(_cfg(), mesh)
+    out = pipe.run_arrays(r1, r2)
+    assert pipe.resolved_narrow_keys is True
+    want = oracle.pipeline_oracle(r1, r2, pred1=(0, ">", 100), pred2=(0, ">", 100))
+    np.testing.assert_array_equal(out.to_numpy(), want)
+
+    r1w = r1.copy()
+    r1w[-1, 0] = 2**35  # lands in the LAST shard only
+    pipe2 = DistributedQueryPipeline(_cfg(), mesh)
+    out2 = pipe2.run_arrays(r1w, r2)
+    assert pipe2.resolved_narrow_keys is False
+    want2 = oracle.pipeline_oracle(
+        r1w, r2, pred1=(0, ">", 100), pred2=(0, ">", 100)
+    )
+    np.testing.assert_array_equal(out2.to_numpy(), want2)
