@@ -87,7 +87,16 @@ def main():
         res = core(ap, b)
         return carry + res.num_rows
 
-    value = time_chained_ms(body, t1, t2, k1=2, k2=12, reps=5)
+    # Long chains (200 iterations of signal between the two lengths): at
+    # 100k rows one pipeline iteration is ~0.5 ms, so short chains drown in
+    # the tunnel's multi-ms RTT jitter -- the r01->r02 "regression"
+    # (0.727 -> 1.321 ms) was protocol noise, not device time (see
+    # docs/bench_regression_analysis.md). Median of 3 independent slopes;
+    # measured spread at these settings is <1%.
+    runs = [
+        time_chained_ms(body, t1, t2, k1=10, k2=210, reps=5) for _ in range(3)
+    ]
+    value = sorted(runs)[1]
 
     print(
         json.dumps(

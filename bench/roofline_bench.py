@@ -70,7 +70,8 @@ def run(sizes, dtype_name="int64", reps=5, out_path=None, narrow=False):
 
         med_ms = time_chained_ms(body, t1, t2, k1=1, k2=5, reps=reps)
         model = roofline.pipeline_traffic(
-            n, n, kept1, kept2, out_rows, ncol=rows1.shape[1], dtype=np_dtype
+            n, n, kept1, kept2, out_rows, ncol=rows1.shape[1], dtype=np_dtype,
+            narrow=narrow,
         )
         frac = roofline.roofline_fraction(med_ms, model, peak)
         rec = {

@@ -72,13 +72,15 @@ class TrafficModel:
         return self.total_bytes / (peak_gbps * 1e9) * 1e3
 
 
-def _sort_passes(n: int, itemsize: int, ncol: int) -> int:
+def _sort_passes(n: int, itemsize: int, ncol: int, *, narrow: bool = False) -> int:
     """1 run-formation pass + ceil(log2(n / C)) merge passes."""
     from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import choose_sizes
 
-    # planes: key decomposes to itemsize/4 planes + arange + payload planes
-    key_planes = max(itemsize // 4, 1)
-    nplanes = key_planes + 1 + (ncol - 1) * key_planes
+    # planes: key decomposes to itemsize/4 planes + arange + payload planes;
+    # narrow keys sort as a single int32 plane regardless of table dtype.
+    key_planes = 1 if narrow else max(itemsize // 4, 1)
+    payload_planes = (ncol - 1) * max(itemsize // 4, 1)
+    nplanes = key_planes + 1 + payload_planes
     chunk, _ = choose_sizes(nplanes)
     return 1 + max(math.ceil(math.log2(max(n, 1) / chunk)), 0)
 
@@ -92,14 +94,22 @@ def pipeline_traffic(
     *,
     ncol: int = 4,
     dtype=np.int64,
+    narrow: bool = False,
 ) -> TrafficModel:
-    """Minimum HBM bytes for filter -> sort -> join over two tables."""
+    """Minimum HBM bytes for filter -> sort -> join over two tables.
+
+    ``narrow`` models the int32 narrow-key dispatch: key planes shrink to
+    one word, enlarging VMEM runs and (sometimes) shaving a merge pass --
+    the narrow row must divide by its OWN lower bound, not the wide one.
+    """
     row = ncol * np.dtype(dtype).itemsize
     out_row = (2 * ncol - 1) * np.dtype(dtype).itemsize
     filter_b = (n1 + kept1 + n2 + kept2) * row
     sort_b = (
-        _sort_passes(kept1, np.dtype(dtype).itemsize, ncol) * 2 * kept1
-        + _sort_passes(kept2, np.dtype(dtype).itemsize, ncol) * 2 * kept2
+        _sort_passes(kept1, np.dtype(dtype).itemsize, ncol, narrow=narrow)
+        * 2 * kept1
+        + _sort_passes(kept2, np.dtype(dtype).itemsize, ncol, narrow=narrow)
+        * 2 * kept2
     ) * row
     join_b = (kept1 + kept2) * row + out_rows * out_row
     return TrafficModel(

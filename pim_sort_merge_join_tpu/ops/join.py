@@ -91,35 +91,42 @@ def _run_starts(keys: jax.Array) -> jax.Array:
     return jax.lax.cummax(jnp.where(head, iota, 0))
 
 
-def _run_lengths(keys: jax.Array) -> jax.Array:
-    """For sorted ``keys``: length of the equal-key run containing each slot."""
-    n = keys.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    tail = jnp.concatenate(
-        [keys[1:] != keys[:-1], jnp.ones((1,), jnp.bool_)]
-    )
-    ends = jax.lax.cummin(jnp.where(tail, iota + 1, n)[::-1])[::-1]
-    return ends - _run_starts(keys)
-
-
 def _match_info(t1: Table, t2: Table, key1: int, key2: int) -> _MatchInfo:
+    """Per-t1-row (lo2, cnt2, occ) via the merged key domain.
+
+    Replaces `jnp.searchsorted(..., method='sort')` -- which internally
+    pays TWO rank-by-merge sorts plus gathers (measured 311 ms at 10M
+    int64 rows on a v5e, bench/breakdown_bench.py) -- with one explicit
+    merge sort, forward run algebra (see `_one_to_one_merged`), and one
+    un-merge sort: ~3x less sort work for the same quantities.
+    """
     k1 = t1.masked_keys(key1)
     k2 = t2.masked_keys(key2)
-    n2 = t2.capacity
-    # method='sort': rank-by-merge instead of per-query binary search --
-    # sequential access, ~20x faster than the scan method at 16M int64.
-    lo2 = jnp.searchsorted(k2, k1, side="left", method="sort").astype(jnp.int32)
-    # Key multiplicity in t2 WITHOUT a second searchsorted (the right bound):
-    # lo2 of a matching key is its run start in k2, so the multiplicity is
-    # k2's run length there. lo2 is monotone (k1 sorted), so both gathers are
-    # sequential-access. Replaces a second 2n-element rank-by-merge sort with
-    # two O(n) scans.
-    safe_lo = jnp.minimum(lo2, n2 - 1)
-    hit = (lo2 < n2) & (jnp.take(k2, safe_lo) == k1)
-    cnt2 = jnp.where(hit, jnp.take(_run_lengths(k2), safe_lo), 0)
-    lo1 = _run_starts(k1)
-    occ = jnp.arange(t1.capacity, dtype=jnp.int32) - lo1
-    return _MatchInfo(lo2=lo2, cnt2=cnt2, occ=occ)
+    cap1, cap2 = t1.capacity, t2.capacity
+    n = cap1 + cap2
+    keys = jnp.concatenate([k1, k2])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    mkeys, mpos = jax.lax.sort((keys, pos), num_keys=2)
+    is2 = (mpos >= cap1).astype(jnp.int32)
+    is1 = 1 - is2
+    head = jnp.concatenate([jnp.ones((1,), jnp.bool_), mkeys[1:] != mkeys[:-1]])
+    tail = jnp.concatenate([mkeys[1:] != mkeys[:-1], jnp.ones((1,), jnp.bool_)])
+    iota = jnp.arange(n, dtype=jnp.int32)
+    c2 = jnp.cumsum(is2, dtype=jnp.int32)
+    c1 = (iota + 1) - c2
+    base2 = _head_broadcast(head, c2 - is2)
+    base1 = _head_broadcast(head, c1 - is1)
+    end2 = jax.lax.cummin(jnp.where(tail, c2, n)[::-1])[::-1]
+    live = mkeys != key_sentinel(mkeys.dtype)
+    # Per side-1 element: its key's run in k2 starts at the count of
+    # side-2 before my run (base2) and has end2 - base2 members.
+    lo2_m = base2
+    cnt2_m = jnp.where(live, end2 - base2, 0)
+    occ_m = c1 - is1 - base1
+    _, lo2, cnt2, occ = jax.lax.sort(
+        (mpos, lo2_m, cnt2_m, occ_m), num_keys=1
+    )
+    return _MatchInfo(lo2=lo2[:cap1], cnt2=cnt2[:cap1], occ=occ[:cap1])
 
 
 def _head_broadcast(head: jax.Array, vals: jax.Array) -> jax.Array:
