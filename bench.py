@@ -80,12 +80,19 @@ def main():
     expect_rows = int(out.num_rows)
     assert expect_rows > 0, "join produced no rows -- benchmark invalid"
 
+    import jax.numpy as jnp
+
     def body(carry, a, b):
         # opaque_zero keeps each iteration data-dependent on the last so
         # XLA cannot hoist or overlap the pipeline across iterations.
         ap = a.replace(num_rows=a.num_rows + opaque_zero(carry))
         res = core(ap, b)
-        return carry + res.num_rows
+        # Fold an element of the DATA into the carry, not just the row
+        # count: a body that consumes only num_rows lets XLA dead-code-
+        # eliminate the join's emit stage inside the loop, and rounds 1-2
+        # silently benchmarked a partial pipeline (see
+        # docs/bench_regression_analysis.md).
+        return carry + res.num_rows + res.data[0, 0].astype(jnp.int32)
 
     # Long chains (200 iterations of signal between the two lengths): at
     # 100k rows one pipeline iteration is ~0.5 ms, so short chains drown in

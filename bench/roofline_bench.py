@@ -64,9 +64,13 @@ def run(sizes, dtype_name="int64", reps=5, out_path=None, narrow=False):
         kept2 = int(np.sum(rows2[:, 0] > (3 * n) // 20))
 
         def body(carry, a, b):
+            import jax.numpy as jnp
+
             ap = a.replace(num_rows=a.num_rows + opaque_zero(carry))
             res = core(ap, b)
-            return carry + res.num_rows
+            # data[0,0] forces the emit stage; num_rows alone lets XLA
+            # DCE it inside the loop (docs/bench_regression_analysis.md).
+            return carry + res.num_rows + res.data[0, 0].astype(jnp.int32)
 
         med_ms = time_chained_ms(body, t1, t2, k1=1, k2=5, reps=reps)
         model = roofline.pipeline_traffic(

@@ -30,7 +30,10 @@ def run(sizes, reps=5):
         pass
 
     from bench.timing import opaque_zero, time_chained_ms
-    from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
+    from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import (
+        hbm_sort,
+        hbm_sort_adaptive,
+    )
     from pim_sort_merge_join_tpu.ops.pallas.sort_kernel import (
         PALLAS_SORT_MAX,
         sort_pairs_pallas,
@@ -40,6 +43,11 @@ def run(sizes, reps=5):
     for n in sizes:
         keys64 = jnp.asarray(rng.integers(0, 3 * n, size=n).astype(np.int64))
         keys32 = keys64.astype(jnp.int32)
+        # Full-range 64-bit keys: the adaptive rebase CANNOT trigger; the
+        # honest wide-path number.
+        keys64_full = jnp.asarray(
+            rng.integers(-(2**62), 2**62, size=n).astype(np.int64)
+        )
         idx = jnp.arange(n, dtype=jnp.int32)
 
         def xla_sort(k, v):
@@ -48,15 +56,23 @@ def run(sizes, reps=5):
         def hbm(k, v):
             return hbm_sort((k, v))
 
+        def hbm_adapt(k, v):
+            return hbm_sort_adaptive((k, v))
+
         variants = {
             "xla_sort_i64": (xla_sort, keys64),
             "xla_sort_i32": (xla_sort, keys32),
+            "xla_sort_i64_fullrange": (xla_sort, keys64_full),
         }
         # Pallas kernels only compile for TPU; off-TPU this bench still
         # reports the XLA rows so the harness degrades instead of crashing.
         if jax.default_backend() not in ("cpu",):
             variants["hbm_pallas_i64"] = (hbm, keys64)
             variants["hbm_pallas_i32"] = (hbm, keys32)
+            # Range-adaptive: reference-distribution keys (<= 3N) take the
+            # rebased single-plane branch; full-range keys the wide branch.
+            variants["hbm_adaptive_i64"] = (hbm_adapt, keys64)
+            variants["hbm_adaptive_i64_fullrange"] = (hbm_adapt, keys64_full)
             if n <= PALLAS_SORT_MAX:
                 variants["pallas_bitonic_i32"] = (sort_pairs_pallas, keys32)
 

@@ -62,9 +62,13 @@ def run_sweep(sizes, *, skip_cpu=False, reps=5, key_distribution="unique"):
         out = fn(t1, t2)  # correctness run (validated below)
 
         def body(carry, a, b, cfg=cfg):
+            import jax.numpy as jnp
+
             ap = a.replace(num_rows=a.num_rows + opaque_zero(carry))
             res = pipeline_core(ap, b, config=cfg)
-            return carry + res.num_rows
+            # data[0,0] forces the emit stage; num_rows alone lets XLA
+            # DCE it inside the loop (docs/bench_regression_analysis.md).
+            return carry + res.num_rows + res.data[0, 0].astype(jnp.int32)
 
         med_ms = time_chained_ms(body, t1, t2, k1=1, k2=5, reps=reps)
         # Under heavy host load the slope can clamp to 0.0 (t(k2) <= t(k1)

@@ -89,7 +89,13 @@ def run_weak_scaling(mesh_sizes, rows_per_shard, reps=5, simulator=None):
                 ShardedTable(data=d1, counts=c1, names=names1),
                 ShardedTable(data=d2, counts=c2, names=names2),
             )
-            return carry + jnp.sum(out.counts).astype(jnp.int32)
+            # data element forces the emit stage; counts alone let XLA
+            # DCE it inside the loop (docs/bench_regression_analysis.md).
+            return (
+                carry
+                + jnp.sum(out.counts).astype(jnp.int32)
+                + out.data[0, 0].astype(jnp.int32)
+            )
 
         med_ms = time_chained_ms(
             body, t1.data, t1.counts, t2.data, t2.counts, k1=1, k2=3, reps=reps

@@ -450,6 +450,7 @@ def distributed_join_core(
             a, b, config.join_key1, config.join_key2,
             mode=config.join_mode, presorted=not fused_local_join,
             out_capacity=out_cap, narrow=config.narrow_keys,
+            sort_algorithm=config.sort_algorithm,
         )
         return out.data, out.num_rows.reshape(1)
 

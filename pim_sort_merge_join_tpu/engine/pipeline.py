@@ -60,11 +60,18 @@ def pipeline_core(t1: Table, t2: Table, config: EngineConfig) -> Table:
         return join_ops.filter_join_one_to_one(
             t1, t2, config.join_key1, config.join_key2, m1, m2,
             narrow=config.narrow_keys,
+            sort_algorithm=config.sort_algorithm,
         )
     f1 = filter_ops.apply_filter(t1, config.predicate1)
     f2 = filter_ops.apply_filter(t2, config.predicate2)
-    s1 = sort_ops.sort_by_key(f1, config.join_key1, algorithm=config.sort_algorithm)
-    s2 = sort_ops.sort_by_key(f2, config.join_key2, algorithm=config.sort_algorithm)
+    s1 = sort_ops.sort_by_key(
+        f1, config.join_key1, algorithm=config.sort_algorithm,
+        narrow=config.narrow_keys is True,
+    )
+    s2 = sort_ops.sort_by_key(
+        f2, config.join_key2, algorithm=config.sort_algorithm,
+        narrow=config.narrow_keys is True,
+    )
     if config.join_algorithm == "hash":
         from pim_sort_merge_join_tpu.ops.hash_join import hash_join
 
@@ -78,6 +85,7 @@ def pipeline_core(t1: Table, t2: Table, config: EngineConfig) -> Table:
         s1, s2, config.join_key1, config.join_key2,
         mode=config.join_mode, out_capacity=out_cap,
         narrow=config.narrow_keys,
+        sort_algorithm=config.sort_algorithm,
     )
 
 

@@ -108,21 +108,27 @@ def _match_info(t1: Table, t2: Table, key1: int, key2: int) -> _MatchInfo:
     pos = jnp.arange(n, dtype=jnp.int32)
     mkeys, mpos = jax.lax.sort((keys, pos), num_keys=2)
     is2 = (mpos >= cap1).astype(jnp.int32)
-    is1 = 1 - is2
     head = jnp.concatenate([jnp.ones((1,), jnp.bool_), mkeys[1:] != mkeys[:-1]])
     tail = jnp.concatenate([mkeys[1:] != mkeys[:-1], jnp.ones((1,), jnp.bool_)])
     iota = jnp.arange(n, dtype=jnp.int32)
     c2 = jnp.cumsum(is2, dtype=jnp.int32)
-    c1 = (iota + 1) - c2
-    base2 = _head_broadcast(head, c2 - is2)
-    base1 = _head_broadcast(head, c1 - is1)
-    end2 = jax.lax.cummin(jnp.where(tail, c2, n)[::-1])[::-1]
+    # Packed single-cummax head broadcast; see `_one_to_one_merged`.
+    packed = jnp.where(
+        head,
+        (iota.astype(jnp.int64) << 32) | (c2 - is2).astype(jnp.int64),
+        jnp.int64(0),
+    )
+    packed = jax.lax.cummax(packed)
+    run_start = (packed >> 32).astype(jnp.int32)
+    base2 = (packed & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+    end2 = jax.lax.cummin(jnp.where(tail, c2, n), reverse=True)
     live = mkeys != key_sentinel(mkeys.dtype)
     # Per side-1 element: its key's run in k2 starts at the count of
-    # side-2 before my run (base2) and has end2 - base2 members.
+    # side-2 before my run (base2) and has end2 - base2 members; a side-1
+    # element's in-run index is its side rank (side-1 precede side-2).
     lo2_m = base2
     cnt2_m = jnp.where(live, end2 - base2, 0)
-    occ_m = c1 - is1 - base1
+    occ_m = iota - run_start
     _, lo2, cnt2, occ = jax.lax.sort(
         (mpos, lo2_m, cnt2_m, occ_m), num_keys=1
     )
@@ -157,7 +163,14 @@ def _narrow32(k: jax.Array) -> jax.Array:
 
 
 def _one_to_one_merged(
-    t1: Table, t2: Table, key2: int, k1, k2, *, narrow: bool = False
+    t1: Table,
+    t2: Table,
+    key2: int,
+    k1,
+    k2,
+    *,
+    narrow: bool = False,
+    sort_algorithm: str = "auto",
 ) -> Table:
     """1:1 join core over pre-masked key vectors; sortedness NOT required.
 
@@ -200,9 +213,13 @@ def _one_to_one_merged(
     # puts t1 first on ties and keeps each side's original row order.
     keys = jnp.concatenate([k1, k2])
     pos = jnp.arange(n, dtype=jnp.int32)
-    mkeys, mpos = jax.lax.sort((keys, pos), num_keys=2)
+    # Stable sort by key == sort by (key, pos): pos IS the original order.
+    # Dispatched through ops/sort so the HBM-scale Pallas kernel engages on
+    # TPU above the measured crossover (sort_algorithm="auto").
+    from pim_sort_merge_join_tpu.ops.sort import stable_key_sort
+
+    mkeys, mpos = stable_key_sort((keys, pos), algorithm=sort_algorithm)
     is2 = (mpos >= cap1).astype(jnp.int32)
-    is1 = 1 - is2
 
     # Equal-key runs of the merged sequence. Because ties sort by position
     # and every t1 position precedes every t2 position, WITHIN a run all
@@ -217,26 +234,37 @@ def _one_to_one_merged(
     # Per-side inclusive prefix counts. Side-1 follows from algebra
     # (c1 + c2 = position + 1 everywhere), halving the scan passes.
     c2 = jnp.cumsum(is2, dtype=jnp.int32)
-    c1 = (iota + 1) - c2
-    # Per-side counts before my run (values at run heads, broadcast fwd).
-    base2 = _head_broadcast(head, c2 - is2)
-    base1 = _head_broadcast(head, c1 - is1)
-    # Occurrence rank within (run, side).
-    rank = jnp.where(is2 == 1, c2 - is2 - base2, c1 - is1 - base1)
+    # Both run-head broadcasts (run start position, side-2 count before the
+    # run) ride ONE int64 cummax: pack (iota << 32 | c2_excl) at heads --
+    # iota strictly increases across heads, so the packed value's order is
+    # the position order and a running max broadcasts the latest head.
+    packed = jnp.where(
+        head,
+        (iota.astype(jnp.int64) << 32) | (c2 - is2).astype(jnp.int64),
+        jnp.int64(0),
+    )
+    packed = jax.lax.cummax(packed)
+    run_start = (packed >> 32).astype(jnp.int32)
+    base2 = (packed & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+    # In-run index and in-run inclusive side-2 count give both ranks:
+    # side-1 elements precede every side-2 element of their run, so a
+    # side-1 element's in-run index IS its side rank.
+    jr = iota - run_start
+    s2r = c2 - base2
+    rank = jnp.where(is2 == 1, s2r - 1, jr)
     live = mkeys != key_sentinel(mkeys.dtype)
 
     # 1:1 semantics (join.c:160-173): k-th t1 duplicate pairs k-th t2
     # duplicate; a run yields min(cnt1, cnt2) rows. A side-2 element of
-    # rank r matches iff r < (side-1 elements in my run) = c1 - base1,
-    # all of which precede it.
-    matched2 = (is2 == 1) & (rank < (c1 - base1)) & live
+    # rank r matches iff r < (side-1 elements of my run so far) = in-run
+    # index + 1 - in-run side-2 count, all of which precede it.
+    matched2 = (is2 == 1) & (rank < (jr + 1 - s2r)) & live
     # Matched side-2 elements are the "witnesses": in merged (= key) order
     # they enumerate the output slots directly, no per-run base needed.
     m2cum = jnp.cumsum(matched2.astype(jnp.int32), dtype=jnp.int32)
     # A side-1 element needs its run's side-2 TOTAL: c2 at the run's end,
-    # broadcast backward (reverse cummin of an inclusive nondecreasing
-    # prefix) -- the single remaining backward scan.
-    end2 = jax.lax.cummin(jnp.where(tail, c2, n)[::-1])[::-1]
+    # broadcast backward -- the single remaining backward scan.
+    end2 = jax.lax.cummin(jnp.where(tail, c2, n), reverse=True)
     matched1 = (is2 == 0) & (rank < (end2 - base2)) & live
     # Side-1 slots: witnesses before my run (= m2cum here, since my run's
     # witnesses all lie after me) plus my rank. Side-2 slots: my witness
@@ -250,7 +278,7 @@ def _one_to_one_merged(
 
     # --- 2. un-merge: slots back to original row positions -----------------
     # mpos is a permutation of [0, n); sorting by it inverts the merge.
-    _, dest_by_pos = jax.lax.sort((mpos, dest), num_keys=1)
+    _, dest_by_pos = stable_key_sort((mpos, dest), algorithm=sort_algorithm)
     dest1 = dest_by_pos[:cap1]
     dest2 = dest_by_pos[cap1:]
 
@@ -291,7 +319,13 @@ def _one_to_one_merged(
 
 
 def merge_join_one_to_one(
-    t1: Table, t2: Table, key1: int, key2: int, *, narrow: bool = False
+    t1: Table,
+    t2: Table,
+    key1: int,
+    key2: int,
+    *,
+    narrow: bool = False,
+    sort_algorithm: str = "auto",
 ) -> Table:
     """Reference-semantics 1:1 merge join of two sorted tables.
 
@@ -299,7 +333,8 @@ def merge_join_one_to_one(
     See `_one_to_one_merged` for the TPU realization.
     """
     return _one_to_one_merged(
-        t1, t2, key2, t1.masked_keys(key1), t2.masked_keys(key2), narrow=narrow
+        t1, t2, key2, t1.masked_keys(key1), t2.masked_keys(key2),
+        narrow=narrow, sort_algorithm=sort_algorithm,
     )
 
 
@@ -312,6 +347,7 @@ def filter_join_one_to_one(
     mask2: jax.Array,
     *,
     narrow: bool = False,
+    sort_algorithm: str = "auto",
 ) -> Table:
     """Fused filter + sort + 1:1 join of two UNSORTED tables.
 
@@ -328,7 +364,9 @@ def filter_join_one_to_one(
     sent2 = key_sentinel(t2.dtype)
     k1 = jnp.where(mask1, t1.data[:, key1], sent1)
     k2 = jnp.where(mask2, t2.data[:, key2], sent2)
-    return _one_to_one_merged(t1, t2, key2, k1, k2, narrow=narrow)
+    return _one_to_one_merged(
+        t1, t2, key2, k1, k2, narrow=narrow, sort_algorithm=sort_algorithm
+    )
 
 
 def merge_join_inner(
@@ -369,6 +407,7 @@ def merge_join(
     out_capacity: int | None = None,
     presorted: bool = True,
     narrow: bool = False,
+    sort_algorithm: str = "auto",
 ) -> Table:
     """Join two tables on their key columns.
 
@@ -376,15 +415,18 @@ def merge_join(
     merged-domain core establishes key order itself, so callers can skip
     their own sort pass entirely. ``narrow`` (one_to_one only) sorts the
     merge pass on int32 keys; valid only when every key value fits int32
-    (config.narrow_keys, validated at ingest).
+    (config.narrow_keys, validated at ingest). ``sort_algorithm`` dispatches
+    the core's internal sorts (ops/sort.stable_key_sort).
     """
     if mode == "one_to_one":
         if not presorted:
             return filter_join_one_to_one(
                 t1, t2, key1, key2, t1.valid_mask(), t2.valid_mask(),
-                narrow=narrow,
+                narrow=narrow, sort_algorithm=sort_algorithm,
             )
-        return merge_join_one_to_one(t1, t2, key1, key2, narrow=narrow)
+        return merge_join_one_to_one(
+            t1, t2, key1, key2, narrow=narrow, sort_algorithm=sort_algorithm
+        )
     if mode == "inner":
         if not presorted:
             raise ValueError("inner join requires key-sorted inputs")

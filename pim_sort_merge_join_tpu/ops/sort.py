@@ -31,7 +31,9 @@ HBM_SORT_AUTO_MIN_32 = 1 << 24
 HBM_SORT_AUTO_MIN_64 = 1 << 27
 
 
-def sort_by_key(table: Table, key: int, *, algorithm: str = "auto") -> Table:
+def sort_by_key(
+    table: Table, key: int, *, algorithm: str = "auto", narrow: bool = False
+) -> Table:
     """Sort valid rows ascending by column ``key``; stable on ties.
 
     Algorithms: "xla" (`jax.lax.sort`), "hbm_pallas" (the HBM-scale Pallas
@@ -39,13 +41,26 @@ def sort_by_key(table: Table, key: int, *, algorithm: str = "auto") -> Table:
     VMEM-resident kernel), or "auto" -- hbm_pallas on TPU at or above the
     measured per-key-width crossover (``HBM_SORT_AUTO_MIN_32`` /
     ``HBM_SORT_AUTO_MIN_64``), xla otherwise.
+
+    ``narrow`` (driver-resolved, see config.narrow_keys): sort 64-bit
+    integer keys as a single int32 plane -- every valid key value must fit
+    int32 (validated at ingest). Halves comparator work in every backend
+    and moves the auto crossover to the 32-bit one.
     """
     keys = table.masked_keys(key)
+    if (
+        narrow is True
+        and jnp.issubdtype(keys.dtype, jnp.integer)
+        and keys.dtype.itemsize == 8
+    ):
+        from pim_sort_merge_join_tpu.ops.join import _narrow32
+
+        keys = _narrow32(keys)
     if algorithm == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         auto_min = (
             HBM_SORT_AUTO_MIN_32
-            if jnp.dtype(table.dtype).itemsize <= 4
+            if jnp.dtype(keys.dtype).itemsize <= 4
             else HBM_SORT_AUTO_MIN_64
         )
         algorithm = (
@@ -92,6 +107,38 @@ def sort_by_key(table: Table, key: int, *, algorithm: str = "auto") -> Table:
         raise ValueError(f"unknown sort algorithm {algorithm!r}")
     data = jnp.take(table.data, order, axis=0)
     return table.replace(data=data)
+
+
+def stable_key_sort(
+    operands: tuple[jax.Array, ...], *, algorithm: str = "auto"
+) -> tuple[jax.Array, ...]:
+    """Stable multi-operand sort by ``operands[0]`` with backend dispatch.
+
+    The algorithm-selection seam for the join's internal sorts (the 1:1
+    merged-domain core issues two 2n-element pair sorts, ops/join.py):
+    "auto" picks the HBM-scale Pallas sort on TPU at or above the measured
+    per-key-width crossover, `jax.lax.sort` otherwise. Semantics match
+    ``jax.lax.sort(operands, num_keys=1, is_stable=True)`` exactly (the
+    Pallas kernel's synthetic arange plane realizes the stability).
+    """
+    if algorithm in ("auto", "pallas_bitonic"):
+        # pallas_bitonic is a VMEM-resident kernel for table sorts; for raw
+        # operand sorts it has no multi-operand form -- treat as auto.
+        n = operands[0].shape[0]
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        auto_min = (
+            HBM_SORT_AUTO_MIN_32
+            if jnp.dtype(operands[0].dtype).itemsize <= 4
+            else HBM_SORT_AUTO_MIN_64
+        )
+        algorithm = "hbm_pallas" if on_tpu and n >= auto_min else "xla"
+    if algorithm == "hbm_pallas":
+        from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
+
+        return hbm_sort(operands)
+    if algorithm == "xla":
+        return jax.lax.sort(operands, num_keys=1, is_stable=True)
+    raise ValueError(f"unknown sort algorithm {algorithm!r}")
 
 
 def sorted_keys(table: Table, key: int) -> jax.Array:

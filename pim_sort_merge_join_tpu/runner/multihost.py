@@ -68,6 +68,7 @@ def run_query(args) -> int:
         join_key1=args.join_key1,
         join_key2=args.join_key2,
         exchange_slack=args.exchange_slack,
+        exchange_chunks=args.exchange_chunks,
     )
     pipe = DistributedQueryPipeline(config)
 
@@ -79,6 +80,54 @@ def run_query(args) -> int:
     rows2 = csv_io.load_csv_shard(args.table2, pid, nproc)
     t1 = ShardedTable.from_process_local(rows1, pipe.mesh, config.mesh_axis)
     t2 = ShardedTable.from_process_local(rows2, pipe.mesh, config.mesh_axis)
+
+    if args.aggregate:
+        # Distributed group-by aggregate over the mesh (the BASELINE
+        # config-5 hash_aggregate analog), previously reachable only from
+        # the Python API.
+        out = pipe.run_aggregate(
+            t1, key=args.agg_key, value=args.agg_value, agg=args.aggregate
+        )
+        result = out.to_numpy()
+        if jax.process_index() == 0:
+            csv_io.write_csv(args.output, result)
+            print(
+                f"wrote {result.shape[0]} aggregate rows to {args.output}",
+                file=sys.stderr,
+            )
+            print(pipe.metrics_json())
+        return 0
+
+    if args.bench_reps:
+        # Steady-state A/B timing mode (bench/overlap_bench.py): warm up
+        # once (compile + first-transfer), then time whole run_tables
+        # calls. On the CPU/Gloo backend block_until_ready is a real
+        # fence, so wall clock is honest here.
+        import time as _time
+
+        pipe.run_tables(t1, t2)
+        times = []
+        for _ in range(args.bench_reps):
+            t0 = _time.perf_counter()
+            pipe.run_tables(t1, t2)
+            times.append((_time.perf_counter() - t0) * 1000.0)
+        if jax.process_index() == 0:
+            import json as _json
+
+            print(
+                _json.dumps(
+                    {
+                        "bench": "multihost_pipeline",
+                        "exchange_chunks": config.exchange_chunks,
+                        "processes": nproc,
+                        "rows": int(rows1.shape[0]),
+                        "times_ms": [round(t, 1) for t in times],
+                        "median_ms": round(sorted(times)[len(times) // 2], 1),
+                    }
+                )
+            )
+        return 0
+
     out = pipe.run_tables(t1, t2)
 
     # to_numpy replicates across processes (a collective): every process
@@ -112,6 +161,22 @@ def main(argv=None) -> int:
         "(multi-process simulator mode)",
     )
     ap.add_argument("--exchange-slack", type=float, default=2.0)
+    ap.add_argument("--exchange-chunks", type=int, default=4)
+    ap.add_argument(
+        "--aggregate",
+        default=None,
+        choices=["sum", "min", "max", "count"],
+        help="instead of the join, run a distributed group-by aggregate "
+        "on table1 (--agg-key by --agg-value)",
+    )
+    ap.add_argument("--agg-key", type=int, default=0)
+    ap.add_argument("--agg-value", type=int, default=1)
+    ap.add_argument(
+        "--bench-reps",
+        type=int,
+        default=0,
+        help="time N steady-state run_tables calls instead of writing output",
+    )
     ap.add_argument("--select-col1", type=int, default=0)
     ap.add_argument("--select-val1", type=int, default=5000)
     ap.add_argument("--select-col2", type=int, default=0)

@@ -139,6 +139,39 @@ def test_sort_by_key_hbm_path(rng, monkeypatch):
     np.testing.assert_array_equal(got, oracle.sort_oracle(rows, 0))
 
 
+def test_adaptive_narrow_and_wide_ranges(rng):
+    from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort_adaptive
+
+    idx = jnp.arange(4096, dtype=jnp.int32)
+    # Narrow span around a huge offset: the rebased single-plane branch.
+    base = np.int64(2**40)
+    knar = jnp.asarray(base + rng.integers(0, 2**20, size=4096).astype(np.int64))
+    # Full-range span: the wide two-plane branch.
+    kwide = jnp.asarray(
+        rng.integers(-(2**62), 2**62, size=4096).astype(np.int64)
+    )
+    for keys in (knar, kwide):
+        got_k, got_v = hbm_sort_adaptive(
+            (keys, idx), interpret=INTERP, chunk=CHUNK, tile=TILE
+        )
+        want_k, want_v = jax.lax.sort((keys, idx), num_keys=1, is_stable=True)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_sort_by_key_narrow_param(rng):
+    from pim_sort_merge_join_tpu.columnar.table import Table
+    from pim_sort_merge_join_tpu.ops.sort import sort_by_key
+
+    rows = np.column_stack(
+        [rng.integers(-500, 500, 300), rng.integers(0, 99, (300, 3))]
+    ).astype(np.int64)
+    t = Table.from_numpy(rows, capacity=384)
+    wide = sort_by_key(t, 0, algorithm="xla").to_numpy()
+    narrow = sort_by_key(t, 0, algorithm="xla", narrow=True).to_numpy()
+    np.testing.assert_array_equal(narrow, wide)
+
+
 def test_choose_sizes_vmem_bounded():
     for planes in (2, 3, 5, 9, 17):
         c, t = choose_sizes(planes)
