@@ -50,8 +50,15 @@ def main(argv=None):
     jax.block_until_ready((t1.data, t2.data))
     thr = (3 * n) // 20
 
+    from pim_sort_merge_join_tpu.ops import join as join_mod
+
     def make_body(spec):
-        width, alg = spec.split(":")
+        parts = spec.split(":")
+        width, alg = parts[0], parts[1]
+        # Optional third field: "kscan" forces the Pallas join-scan kernel,
+        # "xscan" forces the XLA scan block -- applied by patching the
+        # dispatch threshold just before this config traces.
+        scan = parts[2] if len(parts) > 2 else "auto"
         cfg = smj.EngineConfig(
             predicate1=smj.Predicate(0, ">", thr),
             predicate2=smj.Predicate(0, ">", thr),
@@ -61,6 +68,10 @@ def main(argv=None):
         core = functools.partial(pipeline_core, config=cfg)
 
         def body(carry, a, b):
+            if scan == "kscan":
+                join_mod.JOIN_SCAN_PALLAS_MIN = 0
+            elif scan == "xscan":
+                join_mod.JOIN_SCAN_PALLAS_MIN = 1 << 62
             ap = a.replace(num_rows=a.num_rows + opaque_zero(carry))
             res = core(ap, b)
             return carry + res.num_rows + res.data[0, 0].astype(jnp.int32)

@@ -112,15 +112,8 @@ def _match_info(t1: Table, t2: Table, key1: int, key2: int) -> _MatchInfo:
     tail = jnp.concatenate([mkeys[1:] != mkeys[:-1], jnp.ones((1,), jnp.bool_)])
     iota = jnp.arange(n, dtype=jnp.int32)
     c2 = jnp.cumsum(is2, dtype=jnp.int32)
-    # Packed single-cummax head broadcast; see `_one_to_one_merged`.
-    packed = jnp.where(
-        head,
-        (iota.astype(jnp.int64) << 32) | (c2 - is2).astype(jnp.int64),
-        jnp.int64(0),
-    )
-    packed = jax.lax.cummax(packed)
-    run_start = (packed >> 32).astype(jnp.int32)
-    base2 = (packed & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+    run_start = _head_broadcast(head, iota)
+    base2 = _head_broadcast(head, c2 - is2)
     end2 = jax.lax.cummin(jnp.where(tail, c2, n), reverse=True)
     live = mkeys != key_sentinel(mkeys.dtype)
     # Per side-1 element: its key's run in k2 starts at the count of
@@ -160,6 +153,83 @@ def _narrow32(k: jax.Array) -> jax.Array:
     return jnp.where(k == sent64, jnp.asarray(sent32, k.dtype), k).astype(
         jnp.int32
     )
+
+
+# Below this element count (or off-TPU, or for float keys) the scan block
+# runs as plain XLA ops; above it, the fused two-pass Pallas kernel
+# (ops/pallas/join_scan.py) replaces ~7 HBM scan passes with two.
+JOIN_SCAN_PALLAS_MIN = 1 << 21
+
+
+def _merged_dest_xla(mkeys, mpos, cap1: int):
+    """Output slot per merged element, as XLA scan ops (any backend).
+
+    The algebra: within an equal-key run, every side-1 (t1) element
+    precedes every side-2 element (ties sort by concat position), so
+    side-2 matches and the witness prefix are forward scans; only the
+    side-1 match test needs one backward broadcast (its run's side-2
+    total lies ahead of it). 1:1 semantics per join.c:160-173: the k-th
+    t1 duplicate pairs the k-th t2 duplicate; a run yields
+    min(cnt1, cnt2) rows.
+    """
+    n = mkeys.shape[0]
+    is2 = (mpos >= cap1).astype(jnp.int32)
+    head = jnp.concatenate([jnp.ones((1,), jnp.bool_), mkeys[1:] != mkeys[:-1]])
+    tail = jnp.concatenate([mkeys[1:] != mkeys[:-1], jnp.ones((1,), jnp.bool_)])
+    iota = jnp.arange(n, dtype=jnp.int32)
+    c2 = jnp.cumsum(is2, dtype=jnp.int32)
+    # Run-head broadcasts as int32 cummaxes. (A single packed-int64 cummax
+    # was tried and measured 1.5x SLOWER than these two int32 scans on the
+    # v5e -- 64-bit scan elements cost two words per step.)
+    run_start = _head_broadcast(head, iota)
+    base2 = _head_broadcast(head, c2 - is2)
+    # In-run index and in-run inclusive side-2 count give both ranks:
+    # side-1 elements precede every side-2 element of their run, so a
+    # side-1 element's in-run index IS its side rank.
+    jr = iota - run_start
+    s2r = c2 - base2
+    rank = jnp.where(is2 == 1, s2r - 1, jr)
+    live = mkeys != key_sentinel(mkeys.dtype)
+    matched2 = (is2 == 1) & (rank < (jr + 1 - s2r)) & live
+    # Matched side-2 elements are the "witnesses": in merged (= key) order
+    # they enumerate the output slots directly, no per-run base needed.
+    m2cum = jnp.cumsum(matched2.astype(jnp.int32), dtype=jnp.int32)
+    # A side-1 element needs its run's side-2 TOTAL: c2 at the run's end,
+    # broadcast backward -- the single remaining backward scan.
+    end2 = jax.lax.cummin(jnp.where(tail, c2, n), reverse=True)
+    matched1 = (is2 == 0) & (rank < (end2 - base2)) & live
+    big = jnp.int32(n)
+    dest = jnp.where(
+        matched2,
+        m2cum - 1,
+        jnp.where(matched1, m2cum + rank, big),
+    )
+    num_out = jnp.sum(matched2, dtype=jnp.int32)
+    return dest, num_out
+
+
+def _merged_dest(mkeys, mpos, cap1: int):
+    """Dispatch the merged-domain slot computation: Pallas kernel on TPU at
+    scale (two streaming passes), XLA scans otherwise."""
+    n = mkeys.shape[0]
+    # Single-plane (<= 32-bit) integer keys only: the two-plane (int64)
+    # variant is unit-verified standalone at 20M on the chip
+    # (tests/test_join_scan.py pins it in interpret mode), but embedding it
+    # inside the pipeline's fori_loop trips a TPU-runtime InvalidArgument
+    # on this toolchain -- the wide path keeps the XLA scan block until
+    # that is chased down. The narrow path (the resolved default for
+    # reference-distribution keys) is the one that matters.
+    kernel_ok = (
+        jax.default_backend() not in ("cpu", "gpu")
+        and n >= JOIN_SCAN_PALLAS_MIN
+        and jnp.issubdtype(mkeys.dtype, jnp.integer)
+        and jnp.dtype(mkeys.dtype).itemsize <= 4
+    )
+    if kernel_ok:
+        from pim_sort_merge_join_tpu.ops.pallas.join_scan import join_scan_dest
+
+        return join_scan_dest(mkeys, mpos, cap1)
+    return _merged_dest_xla(mkeys, mpos, cap1)
 
 
 def _one_to_one_merged(
@@ -219,70 +289,13 @@ def _one_to_one_merged(
     from pim_sort_merge_join_tpu.ops.sort import stable_key_sort
 
     mkeys, mpos = stable_key_sort((keys, pos), algorithm=sort_algorithm)
-    is2 = (mpos >= cap1).astype(jnp.int32)
-
-    # Equal-key runs of the merged sequence. Because ties sort by position
-    # and every t1 position precedes every t2 position, WITHIN a run all
-    # side-1 elements come before all side-2 elements -- which makes every
-    # side-2 quantity forward-computable (a side-2 element has already seen
-    # its whole side-1 partner set). Only the side-1 match test needs one
-    # backward broadcast (its run's side-2 total lies ahead of it).
-    head = jnp.concatenate([jnp.ones((1,), jnp.bool_), mkeys[1:] != mkeys[:-1]])
-    tail = jnp.concatenate([mkeys[1:] != mkeys[:-1], jnp.ones((1,), jnp.bool_)])
-    iota = jnp.arange(n, dtype=jnp.int32)
-
-    # Per-side inclusive prefix counts. Side-1 follows from algebra
-    # (c1 + c2 = position + 1 everywhere), halving the scan passes.
-    c2 = jnp.cumsum(is2, dtype=jnp.int32)
-    # Both run-head broadcasts (run start position, side-2 count before the
-    # run) ride ONE int64 cummax: pack (iota << 32 | c2_excl) at heads --
-    # iota strictly increases across heads, so the packed value's order is
-    # the position order and a running max broadcasts the latest head.
-    packed = jnp.where(
-        head,
-        (iota.astype(jnp.int64) << 32) | (c2 - is2).astype(jnp.int64),
-        jnp.int64(0),
-    )
-    packed = jax.lax.cummax(packed)
-    run_start = (packed >> 32).astype(jnp.int32)
-    base2 = (packed & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
-    # In-run index and in-run inclusive side-2 count give both ranks:
-    # side-1 elements precede every side-2 element of their run, so a
-    # side-1 element's in-run index IS its side rank.
-    jr = iota - run_start
-    s2r = c2 - base2
-    rank = jnp.where(is2 == 1, s2r - 1, jr)
-    live = mkeys != key_sentinel(mkeys.dtype)
-
-    # 1:1 semantics (join.c:160-173): k-th t1 duplicate pairs k-th t2
-    # duplicate; a run yields min(cnt1, cnt2) rows. A side-2 element of
-    # rank r matches iff r < (side-1 elements of my run so far) = in-run
-    # index + 1 - in-run side-2 count, all of which precede it.
-    matched2 = (is2 == 1) & (rank < (jr + 1 - s2r)) & live
-    # Matched side-2 elements are the "witnesses": in merged (= key) order
-    # they enumerate the output slots directly, no per-run base needed.
-    m2cum = jnp.cumsum(matched2.astype(jnp.int32), dtype=jnp.int32)
-    # A side-1 element needs its run's side-2 TOTAL: c2 at the run's end,
-    # broadcast backward -- the single remaining backward scan.
-    end2 = jax.lax.cummin(jnp.where(tail, c2, n), reverse=True)
-    matched1 = (is2 == 0) & (rank < (end2 - base2)) & live
-    # Side-1 slots: witnesses before my run (= m2cum here, since my run's
-    # witnesses all lie after me) plus my rank. Side-2 slots: my witness
-    # index.
-    big = jnp.int32(n)
-    dest = jnp.where(
-        matched2,
-        m2cum - 1,
-        jnp.where(matched1, m2cum + rank, big),
-    )
+    dest, num_out = _merged_dest(mkeys, mpos, cap1)
 
     # --- 2. un-merge: slots back to original row positions -----------------
     # mpos is a permutation of [0, n); sorting by it inverts the merge.
     _, dest_by_pos = stable_key_sort((mpos, dest), algorithm=sort_algorithm)
     dest1 = dest_by_pos[:cap1]
     dest2 = dest_by_pos[cap1:]
-
-    num_out = jnp.sum(matched2, dtype=jnp.int32)
 
     # --- 3. emit: permute each table's rows to their output slots ----------
     # is_stable=False: matched rows carry UNIQUE dest slots, and dropped
