@@ -398,11 +398,26 @@ def merge_join_inner(
     out_cap = t1.capacity if out_capacity is None else out_capacity
     j = jnp.arange(out_cap, dtype=jnp.int32)
     # Which t1 row does output slot j belong to? Last i with starts[i] <= j.
-    src1 = (
-        jnp.searchsorted(starts, j, side="right", method="sort").astype(jnp.int32)
-        - 1
-    ).clip(0, t1.capacity - 1)
-    offset = j - jnp.take(starts, src1)
+    # Slot-scatter formulation: rows with cnt > 0 have strictly increasing
+    # (hence unique) starts, and the first such row has start 0, so
+    # scattering (i, starts[i]) at slot starts[i] and prefix-maxing covers
+    # every live slot. Replaces `searchsorted(..., method='sort')`, which
+    # paid two rank-by-merge sorts of 2*out_cap elements, with two O(n)
+    # scatters + two cummax scans (VERDICT r2 item 9).
+    has = cnt > 0
+    i1 = jnp.arange(t1.capacity, dtype=jnp.int32)
+    slot = jnp.where(has, starts, out_cap)  # dead rows scatter out of range
+    src1 = jax.lax.cummax(
+        jnp.zeros((out_cap,), jnp.int32)
+        .at[slot]
+        .max(jnp.where(has, i1, 0), mode="drop")
+    )
+    start_of = jax.lax.cummax(
+        jnp.zeros((out_cap,), jnp.int32)
+        .at[slot]
+        .max(jnp.where(has, starts, 0), mode="drop")
+    )
+    offset = j - start_of
     src2 = jnp.take(info.lo2, src1) + offset
     valid_out = j < jnp.minimum(total, out_cap)
     # Slots whose src1 row produced zero matches are only reachable when
