@@ -700,6 +700,7 @@ def hbm_sort_adaptive(
     interpret: bool = False,
     chunk: int | None = None,
     tile: int | None = None,
+    wide_algorithm: str = "hbm",
 ) -> tuple[jax.Array, ...]:
     """`hbm_sort` with runtime range-adaptive key compaction for 64-bit keys.
 
@@ -713,6 +714,12 @@ def hbm_sort_adaptive(
     (order-preserving, exactly invertible) and sorted by the one-plane
     kernel; otherwise the wide two-plane kernel runs. Both branches compile
     (one extra compile, cached); the fast branch cuts comparator work ~2x.
+
+    ``wide_algorithm`` picks the fallback when the span does NOT fit:
+    "hbm" (the two-plane Pallas kernel) or "xla" (`jax.lax.sort`) -- below
+    the measured two-plane crossover the XLA sort is the faster loser
+    (artifacts/sort_r03.json), so `ops/sort`'s auto dispatch passes "xla"
+    there.
     """
     operands = tuple(operands)
     key = operands[0]
@@ -735,6 +742,8 @@ def hbm_sort_adaptive(
         return (k_back.astype(key.dtype),) + sorted_ops[1:]
 
     def wide_branch(ops):
+        if wide_algorithm == "xla":
+            return jax.lax.sort(ops, num_keys=1, is_stable=True)
         return hbm_sort(ops, interpret=interpret, chunk=chunk, tile=tile)
 
     return jax.lax.cond(fits, narrow_branch, wide_branch, operands)

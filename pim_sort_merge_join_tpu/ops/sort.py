@@ -31,6 +31,27 @@ HBM_SORT_AUTO_MIN_32 = 1 << 24
 HBM_SORT_AUTO_MIN_64 = 1 << 27
 
 
+def _auto_algorithm(n: int, dtype, on_tpu: bool) -> str:
+    """Measured-crossover dispatch (artifacts/sort_r02.json, sort_r03.json).
+
+    <= 32-bit keys: the one-plane Pallas kernel beats `jax.lax.sort` from
+    2^24 elements. 64-bit integer keys: the range-adaptive wrapper wins
+    from the SAME crossover whenever the runtime key span fits int32
+    (1.36x at 16M, 1.42x at 32M -- measured, not extrapolated); its
+    non-fitting branch falls back to `lax.sort` until the wide two-plane
+    kernel's ~2^27 crossover. Other 8-byte dtypes (float64) have no
+    adaptive rebase and keep the wide-kernel crossover.
+    """
+    if not on_tpu:
+        return "xla"
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize <= 4:
+        return "hbm_pallas" if n >= HBM_SORT_AUTO_MIN_32 else "xla"
+    if jnp.issubdtype(dtype, jnp.integer):
+        return "hbm_adaptive" if n >= HBM_SORT_AUTO_MIN_32 else "xla"
+    return "hbm_pallas" if n >= HBM_SORT_AUTO_MIN_64 else "xla"
+
+
 def sort_by_key(
     table: Table, key: int, *, algorithm: str = "auto", narrow: bool = False
 ) -> Table:
@@ -58,22 +79,22 @@ def sort_by_key(
         keys = _narrow32(keys)
     if algorithm == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        auto_min = (
-            HBM_SORT_AUTO_MIN_32
-            if jnp.dtype(keys.dtype).itemsize <= 4
-            else HBM_SORT_AUTO_MIN_64
+        algorithm = _auto_algorithm(table.capacity, keys.dtype, on_tpu)
+    if algorithm in ("hbm_pallas", "hbm_adaptive"):
+        from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import (
+            hbm_sort,
+            hbm_sort_adaptive,
         )
-        algorithm = (
-            "hbm_pallas" if on_tpu and table.capacity >= auto_min else "xla"
-        )
-    if algorithm == "hbm_pallas":
-        from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
 
         # Multi-operand: rows ride through the sort as 32-bit planes; the
         # kernel's synthetic arange plane makes it stable. Padding rows
         # carry the key sentinel and stay at the tail.
         cols = tuple(table.data[:, c] for c in range(table.ncol))
-        sorted_ops = hbm_sort((keys,) + cols)
+        if algorithm == "hbm_adaptive":
+            wide = "hbm" if table.capacity >= HBM_SORT_AUTO_MIN_64 else "xla"
+            sorted_ops = hbm_sort_adaptive((keys,) + cols, wide_algorithm=wide)
+        else:
+            sorted_ops = hbm_sort((keys,) + cols)
         data = jnp.stack(sorted_ops[1:], axis=1)
         return table.replace(data=data)
     if algorithm == "xla":
@@ -126,12 +147,13 @@ def stable_key_sort(
         # operand sorts it has no multi-operand form -- treat as auto.
         n = operands[0].shape[0]
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        auto_min = (
-            HBM_SORT_AUTO_MIN_32
-            if jnp.dtype(operands[0].dtype).itemsize <= 4
-            else HBM_SORT_AUTO_MIN_64
-        )
-        algorithm = "hbm_pallas" if on_tpu and n >= auto_min else "xla"
+        algorithm = _auto_algorithm(n, operands[0].dtype, on_tpu)
+    if algorithm == "hbm_adaptive":
+        from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort_adaptive
+
+        n = operands[0].shape[0]
+        wide = "hbm" if n >= HBM_SORT_AUTO_MIN_64 else "xla"
+        return hbm_sort_adaptive(operands, wide_algorithm=wide)
     if algorithm == "hbm_pallas":
         from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
 
