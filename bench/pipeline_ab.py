@@ -59,10 +59,13 @@ def main(argv=None):
         # "xscan" forces the XLA scan block -- applied by patching the
         # dispatch threshold just before this config traces.
         scan = parts[2] if len(parts) > 2 else "auto"
+        # width: "wide" | "narrow" (int32 keys) | "ndata" (int32 keys AND
+        # int32 emit-sort payload planes, config.narrow_data).
         cfg = smj.EngineConfig(
             predicate1=smj.Predicate(0, ">", thr),
             predicate2=smj.Predicate(0, ">", thr),
-            narrow_keys=(width == "narrow"),
+            narrow_keys=(width in ("narrow", "ndata")),
+            narrow_data=(width == "ndata"),
             sort_algorithm=alg,
         )
         core = functools.partial(pipeline_core, config=cfg)

@@ -85,6 +85,14 @@ class EngineConfig:
     #   True -- force on; ingest validates the fit and raises.
     #   False -- force off.
     narrow_keys: bool | str = "auto"
+    # Ride the 1:1 join's emit-sort PAYLOAD planes (the row data) as int32
+    # as well: those two permutation sorts move 36+ bytes/row otherwise and
+    # are the pipeline's single largest cost block (artifacts/
+    # attrib_r03.json: ~114 of 273 ms at 10M rows). Valid only when every
+    # VALUE in both tables fits int32 -- true for the reference generator,
+    # whose values all lie in [1, 3N] (generate_data.py:7-9). Same
+    # tri-state contract as narrow_keys; "auto" probes the whole tables.
+    narrow_data: bool | str = "auto"
 
     # --- parallelism / capacity layout ---
     # Mesh axis name for the partition axis (the DPU-set analog, user.h:3).
@@ -126,18 +134,17 @@ class EngineConfig:
     checkpoint_dir: str | None = None
 
     def __post_init__(self):
-        if self.narrow_keys not in (True, False, "auto"):
-            raise ValueError(
-                f"narrow_keys must be True, False, or 'auto' "
-                f"(got {self.narrow_keys!r})"
-            )
-        if self.narrow_keys is True and jnp.issubdtype(
-            self.jnp_dtype(), jnp.floating
-        ):
-            raise ValueError(
-                "narrow_keys applies to integer key dtypes only "
-                f"(got dtype={self.dtype!r})"
-            )
+        for name in ("narrow_keys", "narrow_data"):
+            val = getattr(self, name)
+            if val not in (True, False, "auto"):
+                raise ValueError(
+                    f"{name} must be True, False, or 'auto' (got {val!r})"
+                )
+            if val is True and jnp.issubdtype(self.jnp_dtype(), jnp.floating):
+                raise ValueError(
+                    f"{name} applies to integer dtypes only "
+                    f"(got dtype={self.dtype!r})"
+                )
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
@@ -168,6 +175,25 @@ class EngineConfig:
                 for c in key_columns
             )
         return dataclasses.replace(self, narrow_keys=resolved)
+
+    def resolve_narrow_data(self, *tables) -> "EngineConfig":
+        """Return a copy with ``narrow_data`` resolved to a concrete bool.
+
+        ``tables`` are host numpy row arrays (whole tables); "auto" resolves
+        to True iff EVERY value in every table fits the int32 window.
+        """
+        if self.narrow_data != "auto":
+            return self
+        resolved = False
+        if self.narrowable() and tables:
+            import numpy as np
+
+            info = np.iinfo(np.int32)
+            resolved = all(
+                t.size == 0 or (t.min() >= info.min and t.max() < info.max)
+                for t in tables
+            )
+        return dataclasses.replace(self, narrow_data=resolved)
 
 
 def reference_config() -> EngineConfig:

@@ -450,6 +450,7 @@ def distributed_join_core(
             a, b, config.join_key1, config.join_key2,
             mode=config.join_mode, presorted=not fused_local_join,
             out_capacity=out_cap, narrow=config.narrow_keys,
+            narrow_data=config.narrow_data,
             sort_algorithm=config.sort_algorithm,
         )
         return out.data, out.num_rows.reshape(1)
@@ -577,13 +578,16 @@ class DistributedQueryPipeline:
         self._jitted = {}
         self._narrow_probe = None
         self.resolved_narrow_keys: bool | None = None
+        self.resolved_narrow_data: bool | None = None
 
-    def _get_jitted(self, exchange_capacity: int, narrow: bool):
-        key = (exchange_capacity, narrow)
+    def _get_jitted(self, exchange_capacity: int, narrow: bool, narrow_data: bool):
+        key = (exchange_capacity, narrow, narrow_data)
         if key not in self._jitted:
             import dataclasses
 
-            cfg = dataclasses.replace(self.config, narrow_keys=narrow)
+            cfg = dataclasses.replace(
+                self.config, narrow_keys=narrow, narrow_data=narrow_data
+            )
             self._jitted[key] = jax.jit(
                 functools.partial(
                     distributed_pipeline_core,
@@ -594,30 +598,36 @@ class DistributedQueryPipeline:
             )
         return self._jitted[key]
 
-    def _resolve_narrow_device(self, t1: ShardedTable, t2: ShardedTable) -> bool:
-        """Resolve narrow_keys="auto" from the GLOBAL sharded key columns.
+    def _resolve_narrow_device(
+        self, t1: ShardedTable, t2: ShardedTable
+    ) -> tuple[bool, bool]:
+        """Resolve narrow_keys/narrow_data="auto" from GLOBAL sharded data.
 
         The reduce runs over the global jax.Array view, so its (replicated)
         result is identical on every process of a multi-process run --
         per-process HOST probes see only their shard and could disagree,
         desynchronizing the SPMD program (the round-2 auto-enable blocker).
         Probes raw buffers; padding zeros can only keep the range inside
-        int32, never push a valid value out.
+        int32, never push a valid value out. Returns (keys_fit, data_fit).
         """
         if not self.config.narrowable():
-            return False
+            return False, False
         if self._narrow_probe is None:
             k1c, k2c = self.config.join_key1, self.config.join_key2
 
             def probe(d1, d2):
-                lo = jnp.minimum(jnp.min(d1[:, k1c]), jnp.min(d2[:, k2c]))
-                hi = jnp.maximum(jnp.max(d1[:, k1c]), jnp.max(d2[:, k2c]))
-                return lo, hi
+                klo = jnp.minimum(jnp.min(d1[:, k1c]), jnp.min(d2[:, k2c]))
+                khi = jnp.maximum(jnp.max(d1[:, k1c]), jnp.max(d2[:, k2c]))
+                dlo = jnp.minimum(jnp.min(d1), jnp.min(d2))
+                dhi = jnp.maximum(jnp.max(d1), jnp.max(d2))
+                return klo, khi, dlo, dhi
 
             self._narrow_probe = jax.jit(probe)
-        lo, hi = self._narrow_probe(t1.data, t2.data)
+        klo, khi, dlo, dhi = self._narrow_probe(t1.data, t2.data)
         info = np.iinfo(np.int32)
-        return bool(int(lo) >= info.min and int(hi) < info.max)
+        keys_fit = bool(int(klo) >= info.min and int(khi) < info.max)
+        data_fit = bool(int(dlo) >= info.min and int(dhi) < info.max)
+        return keys_fit, data_fit
 
     def run_tables(
         self, t1: ShardedTable, t2: ShardedTable, *, check_overflow: bool = True
@@ -627,13 +637,21 @@ class DistributedQueryPipeline:
         exchange_capacity = int(shard_cap * self.config.exchange_slack)
         # Round to a lane-friendly multiple.
         exchange_capacity = -(-exchange_capacity // 128) * 128
+        need_probe = "auto" in (self.config.narrow_keys, self.config.narrow_data)
+        probed = self._resolve_narrow_device(t1, t2) if need_probe else (False, False)
         narrow = (
             self.config.narrow_keys
             if self.config.narrow_keys != "auto"
-            else self._resolve_narrow_device(t1, t2)
+            else probed[0]
+        )
+        narrow_data = (
+            self.config.narrow_data
+            if self.config.narrow_data != "auto"
+            else probed[1]
         )
         self.resolved_narrow_keys = bool(narrow)
-        fn = self._get_jitted(exchange_capacity, bool(narrow))
+        self.resolved_narrow_data = bool(narrow_data)
+        fn = self._get_jitted(exchange_capacity, bool(narrow), bool(narrow_data))
         with self.metrics.stage("execute") as m:
             out, diag = fn(t1, t2)
             out = jax.block_until_ready(out)
@@ -699,6 +717,24 @@ class DistributedQueryPipeline:
         if (counts > shard_out_cap).any():
             raise JoinOverflowError(int(counts.max()), shard_out_cap)
 
+    def _checkpointer(self):
+        from pim_sort_merge_join_tpu.engine.checkpoint import (
+            StageCheckpointer,
+            config_fingerprint,
+        )
+
+        p = self.mesh.shape[self.config.mesh_axis]
+        return StageCheckpointer(
+            self.config.checkpoint_dir,
+            config_fingerprint(self.config) + f"|mesh={p}",
+        )
+
+    def checkpoint_stages(self) -> list:
+        """Stages already completed in checkpoint_dir for this config+mesh."""
+        if self.config.checkpoint_dir is None:
+            return []
+        return self._checkpointer().completed_stages()
+
     def run_tables_resumable(
         self, t1: ShardedTable, t2: ShardedTable
     ) -> ShardedTable:
@@ -713,16 +749,8 @@ class DistributedQueryPipeline:
         """
         if self.config.checkpoint_dir is None:
             return self.run_tables(t1, t2)
-        from pim_sort_merge_join_tpu.engine.checkpoint import (
-            StageCheckpointer,
-            config_fingerprint,
-        )
-
         p = self.mesh.shape[self.config.mesh_axis]
-        ckpt = StageCheckpointer(
-            self.config.checkpoint_dir,
-            config_fingerprint(self.config) + f"|mesh={p}",
-        )
+        ckpt = self._checkpointer()
         axis = self.config.mesh_axis
         if ckpt.has("exchanged"):
             s1 = ckpt.load_sharded("exchanged", "t1", self.mesh, axis)
@@ -814,6 +842,11 @@ class DistributedQueryPipeline:
 
             check_narrow_keys(rows1, self.config.join_key1, "table1")
             check_narrow_keys(rows2, self.config.join_key2, "table2")
+        if self.config.narrow_data is True:
+            from pim_sort_merge_join_tpu.utils.validate import check_narrow_data
+
+            check_narrow_data(rows1, "table1")
+            check_narrow_data(rows2, "table2")
         with self.metrics.stage("host_to_device") as m:
             t1 = ShardedTable.from_numpy(rows1, self.mesh, axis, dtype=dtype)
             t2 = ShardedTable.from_numpy(rows2, self.mesh, axis, dtype=dtype)

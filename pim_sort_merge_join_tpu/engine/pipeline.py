@@ -60,6 +60,7 @@ def pipeline_core(t1: Table, t2: Table, config: EngineConfig) -> Table:
         return join_ops.filter_join_one_to_one(
             t1, t2, config.join_key1, config.join_key2, m1, m2,
             narrow=config.narrow_keys,
+            narrow_data=config.narrow_data,
             sort_algorithm=config.sort_algorithm,
         )
     f1 = filter_ops.apply_filter(t1, config.predicate1)
@@ -85,6 +86,7 @@ def pipeline_core(t1: Table, t2: Table, config: EngineConfig) -> Table:
         s1, s2, config.join_key1, config.join_key2,
         mode=config.join_mode, out_capacity=out_cap,
         narrow=config.narrow_keys,
+        narrow_data=config.narrow_data,
         sort_algorithm=config.sort_algorithm,
     )
 
@@ -103,46 +105,55 @@ class QueryPipeline:
         self._jitted = {}
         self._filter_probe = None
         self._narrow_probe = None
-        # Concrete narrow_keys decision of the most recent run (observability
-        # + tests); None until a query resolves it.
+        # Concrete narrow_keys / narrow_data decisions of the most recent
+        # run (observability + tests); None until a query resolves them.
         self.resolved_narrow_keys: bool | None = None
+        self.resolved_narrow_data: bool | None = None
 
-    def _jit_for(self, narrow: bool):
-        if narrow not in self._jitted:
+    def _jit_for(self, narrow: bool, narrow_data: bool):
+        key = (narrow, narrow_data)
+        if key not in self._jitted:
             import dataclasses
 
-            cfg = dataclasses.replace(self.config, narrow_keys=narrow)
-            self._jitted[narrow] = jax.jit(
+            cfg = dataclasses.replace(
+                self.config, narrow_keys=narrow, narrow_data=narrow_data
+            )
+            self._jitted[key] = jax.jit(
                 functools.partial(pipeline_core, config=cfg),
                 donate_argnums=(0, 1) if cfg.donate_inputs else (),
             )
-        return self._jitted[narrow]
+        return self._jitted[key]
 
-    def _resolve_narrow_device(self, t1: Table, t2: Table) -> bool:
-        """Resolve narrow_keys="auto" from device tables (one tiny readback).
+    def _resolve_narrow_device(self, t1: Table, t2: Table) -> tuple[bool, bool]:
+        """Resolve narrow_keys/narrow_data="auto" from device tables.
 
-        Probes the RAW key buffers (padding included): padding zeros can
-        only keep the range inside int32, never push a valid value out, so
-        the decision is safe and identical to the host probe on real data.
+        One tiny readback. Probes the RAW buffers (padding included):
+        padding zeros can only keep the range inside int32, never push a
+        valid value out, so the decision is safe and identical to the host
+        probe on real data. Returns (keys_fit, all_data_fits).
         """
         if not self.config.narrowable():
-            return False
+            return False, False
         if self._narrow_probe is None:
             import jax.numpy as jnp
 
             k1c, k2c = self.config.join_key1, self.config.join_key2
 
             def probe(a: Table, b: Table):
-                lo = jnp.minimum(jnp.min(a.data[:, k1c]), jnp.min(b.data[:, k2c]))
-                hi = jnp.maximum(jnp.max(a.data[:, k1c]), jnp.max(b.data[:, k2c]))
-                return lo, hi
+                klo = jnp.minimum(jnp.min(a.data[:, k1c]), jnp.min(b.data[:, k2c]))
+                khi = jnp.maximum(jnp.max(a.data[:, k1c]), jnp.max(b.data[:, k2c]))
+                dlo = jnp.minimum(jnp.min(a.data), jnp.min(b.data))
+                dhi = jnp.maximum(jnp.max(a.data), jnp.max(b.data))
+                return klo, khi, dlo, dhi
 
             self._narrow_probe = jax.jit(probe)
-        lo, hi = self._narrow_probe(t1, t2)
+        klo, khi, dlo, dhi = self._narrow_probe(t1, t2)
         import numpy as np
 
         info = np.iinfo(np.int32)
-        return bool(int(lo) >= info.min and int(hi) < info.max)
+        keys_fit = bool(int(klo) >= info.min and int(khi) < info.max)
+        data_fit = bool(int(dlo) >= info.min and int(dhi) < info.max)
+        return keys_fit, data_fit
 
     def _debug_filter_counts(self, t1: Table, t2: Table) -> None:
         """DEBUG-mode per-stage row dump (reference app.c:294-305 analog).
@@ -179,18 +190,37 @@ class QueryPipeline:
         )
 
     # -- device path -------------------------------------------------------
-    def run_tables(self, t1: Table, t2: Table, *, narrow: bool | None = None) -> Table:
-        if narrow is None:
-            narrow = (
-                self.config.narrow_keys
-                if self.config.narrow_keys != "auto"
-                else self._resolve_narrow_device(t1, t2)
+    def run_tables(
+        self,
+        t1: Table,
+        t2: Table,
+        *,
+        narrow: bool | None = None,
+        narrow_data: bool | None = None,
+    ) -> Table:
+        if narrow is None or narrow_data is None:
+            need_probe = (narrow is None and self.config.narrow_keys == "auto") or (
+                narrow_data is None and self.config.narrow_data == "auto"
             )
+            probed = self._resolve_narrow_device(t1, t2) if need_probe else (False, False)
+            if narrow is None:
+                narrow = (
+                    self.config.narrow_keys
+                    if self.config.narrow_keys != "auto"
+                    else probed[0]
+                )
+            if narrow_data is None:
+                narrow_data = (
+                    self.config.narrow_data
+                    if self.config.narrow_data != "auto"
+                    else probed[1]
+                )
         self.resolved_narrow_keys = bool(narrow)
+        self.resolved_narrow_data = bool(narrow_data)
         if self.config.debug_log:
             self._debug_filter_counts(t1, t2)
         with self.metrics.stage("execute") as m:
-            result = self._jit_for(bool(narrow))(t1, t2)
+            result = self._jit_for(bool(narrow), bool(narrow_data))(t1, t2)
             result = jax.block_until_ready(result)
             m.rows_out = int(result.num_rows)
         if self.config.debug_log:
@@ -248,7 +278,13 @@ class QueryPipeline:
 
             check_narrow_keys(rows1, self.config.join_key1, path1)
             check_narrow_keys(rows2, self.config.join_key2, path2)
+        if self.config.narrow_data is True:
+            from pim_sort_merge_join_tpu.utils.validate import check_narrow_data
+
+            check_narrow_data(rows1, path1)
+            check_narrow_data(rows2, path2)
         narrow = None
+        narrow_data = None
         if self.config.narrow_keys == "auto":
             # Host probe: resolve the narrow-key dispatch from the numpy
             # arrays while they are still on host (free vs a device
@@ -256,12 +292,14 @@ class QueryPipeline:
             narrow = self.config.resolve_narrow(
                 rows1[:, self.config.join_key1], rows2[:, self.config.join_key2]
             ).narrow_keys
+        if self.config.narrow_data == "auto":
+            narrow_data = self.config.resolve_narrow_data(rows1, rows2).narrow_data
         with self.metrics.stage("host_to_device") as m:
             t1 = Table.from_numpy(rows1, capacity=capacity, dtype=dtype)
             t2 = Table.from_numpy(rows2, capacity=capacity, dtype=dtype)
             jax.block_until_ready((t1, t2))
             m.bytes_moved = rows1.nbytes + rows2.nbytes
-        result = self.run_tables(t1, t2, narrow=narrow)
+        result = self.run_tables(t1, t2, narrow=narrow, narrow_data=narrow_data)
         if output_path is not None:
             with self.metrics.stage("materialize") as m:
                 out = result.to_numpy()

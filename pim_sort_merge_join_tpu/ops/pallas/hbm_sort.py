@@ -611,14 +611,25 @@ def hbm_sort(
     interpret: bool = False,
     chunk: int | None = None,
     tile: int | None = None,
+    num_keys: int = 1,
+    unique_keys: bool = False,
 ) -> tuple[jax.Array, ...]:
-    """Stable-sort 1D ``operands`` ascending by ``operands[0]``.
+    """Stable-sort 1D ``operands`` ascending by ``operands[:num_keys]``.
 
-    Drop-in for ``jax.lax.sort(ops, num_keys=1, is_stable=True)`` on int32 /
-    uint32 / int64 / uint64 / float32 / float64 operands of any common
-    length. Float keys use IEEE TOTAL order: -0.0 sorts strictly before
-    +0.0 (lax.sort treats them as equal ties), and NaN keys are unsupported
-    (they sort above +inf).
+    Drop-in for ``jax.lax.sort(ops, num_keys=num_keys, is_stable=True)`` on
+    int32 / uint32 / int64 / uint64 / float32 / float64 operands of any
+    common length. Float keys use IEEE TOTAL order: -0.0 sorts strictly
+    before +0.0 (lax.sort treats them as equal ties), and NaN keys are
+    unsupported (they sort above +inf).
+
+    ``unique_keys=True`` asserts (unchecked) that the joint key tuple is
+    unique across elements AND never equals the all-INT32-MAX plane tuple
+    (the kernel's DMA-scratch sentinel). The synthetic arange tie-break
+    plane is then skipped -- one plane less of HBM traffic on every pass,
+    the single largest lever on 1-2 plane sorts (bench r4: 3-plane 61.2 ms
+    -> 2-plane ~41 ms at 20M). The join's internal sorts qualify: mpos is a
+    permutation, (key, pos) pairs are unique, dest slots are uniquified.
+    Stability is vacuous for unique keys.
 
     ``chunk``/``tile`` override the VMEM sizing heuristics (powers of two,
     tile <= chunk); used by tests to exercise multi-pass merging at small n.
@@ -627,19 +638,25 @@ def hbm_sort(
     n = operands[0].shape[0]
     if any(o.shape != (n,) for o in operands):
         raise ValueError("hbm_sort operands must be 1D of equal length")
+    if not 1 <= num_keys <= len(operands):
+        raise ValueError(f"num_keys={num_keys} out of range")
     if n == 0:
         return operands
 
     planes: list[jax.Array] = []
     tags = []
-    key_planes, key_tag = _decompose(operands[0])
-    planes.extend(key_planes)
-    tags.append((key_tag, len(key_planes)))
-    nkeys_user = len(key_planes)
-    # Synthetic arange plane: stability + uniqueness + merge consistency.
-    planes.append(jnp.arange(n, dtype=jnp.int32))
-    nkeys = nkeys_user + 1
-    for op in operands[1:]:
+    for op in operands[:num_keys]:
+        kp, key_tag = _decompose(op)
+        planes.extend(kp)
+        tags.append((key_tag, len(kp)))
+    nkeys_user = len(planes)
+    if unique_keys:
+        nkeys = nkeys_user
+    else:
+        # Synthetic arange plane: stability + uniqueness + merge consistency.
+        planes.append(jnp.arange(n, dtype=jnp.int32))
+        nkeys = nkeys_user + 1
+    for op in operands[num_keys:]:
         pl_, tag = _decompose(op)
         planes.extend(pl_)
         tags.append((tag, len(pl_)))
@@ -689,7 +706,7 @@ def hbm_sort(
         sub = [flat[pi + c] for c in range(cnt)]
         out.append(_recompose(sub, tag))
         pi += cnt
-        if ti == 0:
+        if ti == num_keys - 1 and not unique_keys:
             pi += 1  # skip the synthetic arange plane
     return tuple(out)
 
@@ -701,6 +718,8 @@ def hbm_sort_adaptive(
     chunk: int | None = None,
     tile: int | None = None,
     wide_algorithm: str = "hbm",
+    num_keys: int = 1,
+    unique_keys: bool = False,
 ) -> tuple[jax.Array, ...]:
     """`hbm_sort` with runtime range-adaptive key compaction for 64-bit keys.
 
@@ -724,26 +743,66 @@ def hbm_sort_adaptive(
     operands = tuple(operands)
     key = operands[0]
     if key.dtype not in (jnp.int64, jnp.uint64) or key.shape[0] == 0:
-        return hbm_sort(operands, interpret=interpret, chunk=chunk, tile=tile)
+        return hbm_sort(
+            operands,
+            interpret=interpret,
+            chunk=chunk,
+            tile=tile,
+            num_keys=num_keys,
+            unique_keys=unique_keys,
+        )
 
-    lo = jnp.min(key)
-    hi = jnp.max(key)
-    # Span in uint64: exact for any signed pair with hi >= lo.
+    # Probe the range over VALID keys only: padded tables carry the dtype-max
+    # sentinel (columnar/table.py masked_keys), which would blow the span to
+    # ~2^63 and permanently disable the fast path (ADVICE r3). Sentinel keys
+    # are re-mapped to int32 max inside the narrow branch so padding still
+    # sorts last. Valid keys EQUAL to the sentinel are unsupported here, as
+    # everywhere in the engine (ops/join.py module contract).
+    sent = jnp.array(jnp.iinfo(key.dtype).max, dtype=key.dtype)
+    is_valid = key != sent
+    lo = jnp.min(jnp.where(is_valid, key, sent))
+    hi = jnp.max(jnp.where(is_valid, key, jnp.iinfo(key.dtype).min))
+    # Span in uint64: exact for any signed pair with hi >= lo. An all-
+    # sentinel input gives hi < lo, wrapping the span huge -> wide branch.
     span = hi.astype(jnp.uint64) - lo.astype(jnp.uint64)
     fits = span <= jnp.uint64(np.iinfo(np.int32).max - 1)
 
     def narrow_branch(ops):
         k = ops[0]
-        k32 = (k.astype(jnp.uint64) - lo.astype(jnp.uint64)).astype(jnp.int32)
-        sorted_ops = hbm_sort(
-            (k32,) + ops[1:], interpret=interpret, chunk=chunk, tile=tile
+        k32 = jnp.where(
+            k == sent,
+            jnp.int32(np.iinfo(np.int32).max),
+            (k.astype(jnp.uint64) - lo.astype(jnp.uint64)).astype(jnp.int32),
         )
-        k_back = sorted_ops[0].astype(jnp.uint64) + lo.astype(jnp.uint64)
+        sorted_ops = hbm_sort(
+            (k32,) + ops[1:],
+            interpret=interpret,
+            chunk=chunk,
+            tile=tile,
+            num_keys=num_keys,
+            unique_keys=unique_keys,
+        )
+        k_back = jnp.where(
+            sorted_ops[0] == jnp.int32(np.iinfo(np.int32).max),
+            sent,
+            (
+                sorted_ops[0].astype(jnp.uint64) + lo.astype(jnp.uint64)
+            ).astype(key.dtype),
+        )
         return (k_back.astype(key.dtype),) + sorted_ops[1:]
 
     def wide_branch(ops):
         if wide_algorithm == "xla":
-            return jax.lax.sort(ops, num_keys=1, is_stable=True)
-        return hbm_sort(ops, interpret=interpret, chunk=chunk, tile=tile)
+            return jax.lax.sort(
+                ops, num_keys=num_keys, is_stable=not unique_keys
+            )
+        return hbm_sort(
+            ops,
+            interpret=interpret,
+            chunk=chunk,
+            tile=tile,
+            num_keys=num_keys,
+            unique_keys=unique_keys,
+        )
 
     return jax.lax.cond(fits, narrow_branch, wide_branch, operands)

@@ -131,16 +131,30 @@ def sort_by_key(
 
 
 def stable_key_sort(
-    operands: tuple[jax.Array, ...], *, algorithm: str = "auto"
+    operands: tuple[jax.Array, ...],
+    *,
+    algorithm: str = "auto",
+    stable: bool = True,
+    num_keys: int = 1,
+    unique_keys: bool = False,
 ) -> tuple[jax.Array, ...]:
-    """Stable multi-operand sort by ``operands[0]`` with backend dispatch.
+    """Stable multi-operand sort by ``operands[:num_keys]`` with dispatch.
 
     The algorithm-selection seam for the join's internal sorts (the 1:1
-    merged-domain core issues two 2n-element pair sorts, ops/join.py):
-    "auto" picks the HBM-scale Pallas sort on TPU at or above the measured
-    per-key-width crossover, `jax.lax.sort` otherwise. Semantics match
-    ``jax.lax.sort(operands, num_keys=1, is_stable=True)`` exactly (the
-    Pallas kernel's synthetic arange plane realizes the stability).
+    merged-domain core issues two 2n-element pair sorts plus two emit
+    permutation sorts, ops/join.py): "auto" picks the HBM-scale Pallas sort
+    on TPU at or above the measured per-key-width crossover, `jax.lax.sort`
+    otherwise. Semantics match
+    ``jax.lax.sort(operands, num_keys=num_keys, is_stable=True)`` exactly
+    (the Pallas kernel's synthetic arange plane realizes the stability).
+
+    ``unique_keys=True`` asserts the joint key tuple is unique (and, on the
+    Pallas path, never all-INT32-MAX; see hbm_sort). Both backends then
+    skip their tie-break machinery -- XLA drops the synthetic iota plane
+    (77.8 -> 55.0 ms for a 2-key sort at 20M, bench r4), the Pallas kernel
+    drops its synthetic key plane (one plane less per pass). ``stable=False``
+    relaxes tie order without the uniqueness claim (XLA only; the Pallas
+    backends stay stable, a legal refinement).
     """
     if algorithm in ("auto", "pallas_bitonic"):
         # pallas_bitonic is a VMEM-resident kernel for table sorts; for raw
@@ -153,13 +167,22 @@ def stable_key_sort(
 
         n = operands[0].shape[0]
         wide = "hbm" if n >= HBM_SORT_AUTO_MIN_64 else "xla"
-        return hbm_sort_adaptive(operands, wide_algorithm=wide)
+        return hbm_sort_adaptive(
+            operands,
+            wide_algorithm=wide,
+            num_keys=num_keys,
+            unique_keys=unique_keys,
+        )
     if algorithm == "hbm_pallas":
         from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort
 
-        return hbm_sort(operands)
+        return hbm_sort(operands, num_keys=num_keys, unique_keys=unique_keys)
     if algorithm == "xla":
-        return jax.lax.sort(operands, num_keys=1, is_stable=True)
+        return jax.lax.sort(
+            operands,
+            num_keys=num_keys,
+            is_stable=stable and not unique_keys,
+        )
     raise ValueError(f"unknown sort algorithm {algorithm!r}")
 
 

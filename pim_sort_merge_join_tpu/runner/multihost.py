@@ -69,6 +69,7 @@ def run_query(args) -> int:
         join_key2=args.join_key2,
         exchange_slack=args.exchange_slack,
         exchange_chunks=args.exchange_chunks,
+        checkpoint_dir=args.checkpoint_dir,
     )
     pipe = DistributedQueryPipeline(config)
 
@@ -128,7 +129,16 @@ def run_query(args) -> int:
             )
         return 0
 
-    out = pipe.run_tables(t1, t2)
+    if args.checkpoint_dir:
+        # Exchange-boundary checkpointed execution: a rerun with the same
+        # config + mesh resumes at the join (distributed
+        # run_tables_resumable; every process calls it -- the gather is
+        # collective, process 0 writes the files).
+        resumed = pipe.checkpoint_stages()
+        out = pipe.run_tables_resumable(t1, t2)
+        print(f"checkpoint resumed_from={resumed}", file=sys.stderr)
+    else:
+        out = pipe.run_tables(t1, t2)
 
     # to_numpy replicates across processes (a collective): every process
     # participates, process 0 writes.
@@ -159,6 +169,12 @@ def main(argv=None) -> int:
         default=None,
         help="force CPU backend with N virtual devices per process "
         "(multi-process simulator mode)",
+    )
+    ap.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="stage-boundary checkpoint directory (shared storage: process "
+        "0 writes, all read); reruns resume after the last completed stage",
     )
     ap.add_argument("--exchange-slack", type=float, default=2.0)
     ap.add_argument("--exchange-chunks", type=int, default=4)

@@ -65,6 +65,26 @@ def check_narrow_keys(
         )
 
 
+def check_narrow_data(rows: np.ndarray, name: str = "input") -> None:
+    """Raise MalformedInputError when ANY table value does not fit int32.
+
+    Guards ``config.narrow_data`` (the 1:1 join's int32 emit-sort payload
+    planes, ops/join.py:_one_to_one_merged step 3): the int64->int32->int64
+    roundtrip is exact only for values in [INT32_MIN, INT32_MAX).
+    """
+    if not rows.size:
+        return
+    info = np.iinfo(np.int32)
+    if rows.max() >= info.max or rows.min() < info.min:
+        from pim_sort_merge_join_tpu.engine.errors import MalformedInputError
+
+        raise MalformedInputError(
+            f"{name}: table values outside [{info.min}, {info.max}) -- "
+            "narrow_data=True requires every value to fit int32; disable it "
+            "for this data"
+        )
+
+
 def check_table(table: Table, *, sorted_by: int | None = None) -> None:
     """Validate structural invariants of a Table (host-side, forces sync)."""
     n = int(jax.device_get(table.num_rows))

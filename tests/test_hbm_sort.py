@@ -151,12 +151,66 @@ def test_adaptive_narrow_and_wide_ranges(rng):
         rng.integers(-(2**62), 2**62, size=4096).astype(np.int64)
     )
     for keys in (knar, kwide):
-        got_k, got_v = hbm_sort_adaptive(
-            (keys, idx), interpret=INTERP, chunk=CHUNK, tile=TILE
-        )
-        want_k, want_v = jax.lax.sort((keys, idx), num_keys=1, is_stable=True)
-        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
-        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        for wide_alg in ("hbm", "xla"):
+            got_k, got_v = hbm_sort_adaptive(
+                (keys, idx),
+                interpret=INTERP,
+                chunk=CHUNK,
+                tile=TILE,
+                wide_algorithm=wide_alg,
+            )
+            want_k, want_v = jax.lax.sort((keys, idx), num_keys=1, is_stable=True)
+            np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+            np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_adaptive_padded_sentinel_keys(rng):
+    """Padded tables carry dtype-max sentinel keys: the range probe must
+    ignore them (ADVICE r3 medium) so the rebased single-plane path engages,
+    and sentinels must still sort last and survive the rebase roundtrip."""
+    from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import hbm_sort_adaptive
+
+    n, cap = 3000, 4096
+    sent = np.iinfo(np.int64).max
+    base = np.int64(2**40)
+    keys = np.full(cap, sent, dtype=np.int64)
+    keys[:n] = base + rng.integers(0, 2**20, size=n).astype(np.int64)
+    kj = jnp.asarray(keys)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    got_k, got_v = hbm_sort_adaptive(
+        (kj, idx), interpret=INTERP, chunk=CHUNK, tile=TILE
+    )
+    want_k, want_v = jax.lax.sort((kj, idx), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    # The narrow branch really ran: every sentinel is at the tail.
+    assert (np.asarray(got_k)[n:] == sent).all()
+
+
+def test_sort_by_key_hbm_adaptive_padded_table(rng, monkeypatch):
+    """sort_by_key(algorithm='hbm_adaptive') on a padded table (num_rows <
+    capacity): pins the sentinel handling end-to-end (ADVICE r3 low)."""
+    import pim_sort_merge_join_tpu.ops.pallas.hbm_sort as hs
+    from pim_sort_merge_join_tpu.columnar.table import Table
+    from pim_sort_merge_join_tpu.ops.sort import sort_by_key
+
+    orig = hs.hbm_sort
+
+    def patched(ops, **kw):
+        kw.update(interpret=INTERP, chunk=CHUNK, tile=TILE)
+        return orig(ops, **kw)
+
+    monkeypatch.setattr(hs, "hbm_sort", patched)
+    rows = np.column_stack(
+        [
+            2**40 + rng.integers(0, 2**20, 3000),
+            rng.integers(0, 99, (3000, 3)),
+        ]
+    ).astype(np.int64)
+    t = Table.from_numpy(rows, capacity=4096)
+    want = sort_by_key(t, 0, algorithm="xla").to_numpy()
+    got = sort_by_key(t, 0, algorithm="hbm_adaptive").to_numpy()
+    np.testing.assert_array_equal(got, want)
 
 
 def test_sort_by_key_narrow_param(rng):
@@ -179,3 +233,64 @@ def test_choose_sizes_vmem_bounded():
         assert c >= 256 and t >= 256
         # chunk kernel working set stays within the ~16 MB/core VMEM.
         assert 24 * planes * c <= 16 * 1024 * 1024
+
+
+def test_unique_keys_skips_synthetic_plane(rng):
+    """unique_keys=True: permutation keys, payload rides, result matches
+    the stable XLA sort exactly (stability vacuous for unique keys)."""
+    n = 2048
+    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    pay = jnp.asarray(rng.integers(-(2**62), 2**62, n).astype(np.int64))
+    got = hbm_sort(
+        (perm, pay), interpret=INTERP, chunk=CHUNK, tile=TILE, unique_keys=True
+    )
+    want = jax.lax.sort((perm, pay), num_keys=1, is_stable=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_num_keys_two_with_sentinel_ties(rng):
+    """num_keys=2 + unique_keys: duplicate primary keys (including runs of
+    the INT32_MAX narrow sentinel) disambiguated by the arange second key --
+    the join's step-1 configuration. Must equal the stable 1-key sort."""
+    n = 2048
+    keys = rng.integers(0, 50, n).astype(np.int32)
+    keys[rng.choice(n, 200, replace=False)] = np.iinfo(np.int32).max
+    kj = jnp.asarray(keys)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    got = hbm_sort(
+        (kj, pos), interpret=INTERP, chunk=CHUNK, tile=TILE,
+        num_keys=2, unique_keys=True,
+    )
+    want = jax.lax.sort((kj, pos), num_keys=1, is_stable=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_num_keys_two_with_payload(rng):
+    n = 2048
+    k1 = jnp.asarray(rng.integers(0, 9, n).astype(np.int32))
+    k2 = jnp.asarray(rng.permutation(n).astype(np.int32))
+    pay = jnp.asarray(rng.integers(0, 10**12, n).astype(np.int64))
+    got = hbm_sort(
+        (k1, k2, pay), interpret=INTERP, chunk=CHUNK, tile=TILE,
+        num_keys=2, unique_keys=True,
+    )
+    want = jax.lax.sort((k1, k2, pay), num_keys=2, is_stable=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_num_keys_two_int64_primary(rng):
+    """64-bit primary key (2 planes) + int32 second key, unique_keys: the
+    wide-key join step-1 configuration."""
+    n = 2048
+    k1 = jnp.asarray(rng.integers(-(2**60), 2**60, n).astype(np.int64))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    got = hbm_sort(
+        (k1, pos), interpret=INTERP, chunk=CHUNK, tile=TILE,
+        num_keys=2, unique_keys=True,
+    )
+    want = jax.lax.sort((k1, pos), num_keys=2, is_stable=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

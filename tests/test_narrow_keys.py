@@ -197,3 +197,99 @@ def test_auto_narrow_distributed_global_probe(small_tables):
         r1w, r2, pred1=(0, ">", 100), pred2=(0, ">", 100)
     )
     np.testing.assert_array_equal(out2.to_numpy(), want2)
+
+
+# --- narrow_data: int32 emit-sort payload planes (round 4) -------------------
+
+
+def test_narrow_data_matches_wide(small_tables, tmp_path):
+    r1, r2 = small_tables
+    wide = _pipe_out(_cfg(narrow_data=False), r1, r2, tmp_path, "dw")
+    nd = _pipe_out(_cfg(narrow_data=True), r1, r2, tmp_path, "dn")
+    np.testing.assert_array_equal(nd, wide)
+    want = oracle.pipeline_oracle(r1, r2, pred1=(0, ">", 100), pred2=(0, ">", 100))
+    np.testing.assert_array_equal(nd, want)
+
+
+def test_narrow_data_negative_payloads(rng, tmp_path):
+    # Negative payload values must roundtrip the int64->int32->int64 cast.
+    n = 300
+    keys1 = rng.integers(0, 200, size=n)
+    keys2 = rng.integers(0, 200, size=n)
+    pay = lambda: rng.integers(-(2**31), 2**31 - 2, (n, 3))
+    r1 = np.column_stack([keys1, pay()]).astype(np.int64)
+    r2 = np.column_stack([keys2, pay()]).astype(np.int64)
+    cfg_w = _cfg(
+        predicate1=Predicate(0, ">", -1), predicate2=Predicate(0, ">", -1),
+        narrow_data=False,
+    )
+    cfg_n = _cfg(
+        predicate1=Predicate(0, ">", -1), predicate2=Predicate(0, ">", -1),
+        narrow_data=True,
+    )
+    wide = _pipe_out(cfg_w, r1, r2, tmp_path, "ndw")
+    nd = _pipe_out(cfg_n, r1, r2, tmp_path, "ndn")
+    np.testing.assert_array_equal(nd, wide)
+
+
+def test_narrow_data_auto_resolution(rng, tmp_path):
+    # Narrow keys but a wide PAYLOAD value: narrow_keys resolves True while
+    # narrow_data resolves False, and output still matches the oracle.
+    n = 200
+    r1 = np.column_stack(
+        [rng.integers(0, 500, n), rng.integers(0, 99, (n, 3))]
+    ).astype(np.int64)
+    r2 = np.column_stack(
+        [rng.integers(0, 500, n), rng.integers(0, 99, (n, 3))]
+    ).astype(np.int64)
+    r1[7, 2] = 2**40  # payload too wide; key col untouched
+    cfg = _cfg(predicate1=Predicate(0, ">", -1), predicate2=Predicate(0, ">", -1))
+    pipe = QueryPipeline(cfg)
+    p1, p2 = str(tmp_path / "ad1.csv"), str(tmp_path / "ad2.csv")
+    csv_io.write_csv(p1, r1)
+    csv_io.write_csv(p2, r2)
+    out = pipe.run_csv(p1, p2)
+    assert pipe.resolved_narrow_keys is True
+    assert pipe.resolved_narrow_data is False
+    want = oracle.pipeline_oracle(r1, r2, pred1=(0, ">", -1), pred2=(0, ">", -1))
+    np.testing.assert_array_equal(out.to_numpy(), want)
+
+
+def test_narrow_data_device_probe(small_tables):
+    from pim_sort_merge_join_tpu.columnar.table import Table
+
+    r1, r2 = small_tables
+    pipe = QueryPipeline(_cfg())
+    pipe.run_tables(Table.from_numpy(r1), Table.from_numpy(r2))
+    assert pipe.resolved_narrow_data is True
+    r1w = r1.copy()
+    r1w[2, 3] = -(2**35)
+    pipe2 = QueryPipeline(_cfg())
+    out = pipe2.run_tables(Table.from_numpy(r1w), Table.from_numpy(r2))
+    assert pipe2.resolved_narrow_data is False
+    want = oracle.pipeline_oracle(r1w, r2, pred1=(0, ">", 100), pred2=(0, ">", 100))
+    np.testing.assert_array_equal(out.to_numpy(), want)
+
+
+def test_narrow_data_out_of_range_raises(tmp_path):
+    rows = np.array([[5, 1, 2**31, 1], [6, 2, 2, 2]], dtype=np.int64)
+    p = str(tmp_path / "widedata.csv")
+    csv_io.write_csv(p, rows)
+    pipe = QueryPipeline(_cfg(narrow_data=True, predicate1=Predicate(0, ">", -1)))
+    with pytest.raises(MalformedInputError, match="narrow_data"):
+        pipe.run_csv(p, p)
+
+
+def test_narrow_data_distributed_matches(small_tables):
+    import jax
+    from jax.sharding import Mesh
+
+    from pim_sort_merge_join_tpu.engine.distributed import DistributedQueryPipeline
+
+    r1, r2 = small_tables
+    mesh = Mesh(np.array(jax.devices()[:8]), ("p",))
+    pipe = DistributedQueryPipeline(_cfg(narrow_data=True), mesh)
+    out = pipe.run_arrays(r1, r2)
+    assert pipe.resolved_narrow_data is True
+    want = oracle.pipeline_oracle(r1, r2, pred1=(0, ">", 100), pred2=(0, ">", 100))
+    np.testing.assert_array_equal(out.to_numpy(), want)
