@@ -92,17 +92,21 @@ def _run_starts(keys: jax.Array) -> jax.Array:
 
 
 def _match_info(t1: Table, t2: Table, key1: int, key2: int) -> _MatchInfo:
-    """Per-t1-row (lo2, cnt2, occ) via the merged key domain.
+    """Per-t1-row (lo2, cnt2, occ) via the merged key domain."""
+    return _match_info_keys(t1.masked_keys(key1), t2.masked_keys(key2))
+
+
+def _match_info_keys(k1: jax.Array, k2: jax.Array) -> _MatchInfo:
+    """Per-k1-element (lo2, cnt2, occ) from pre-masked key vectors.
 
     Replaces `jnp.searchsorted(..., method='sort')` -- which internally
     pays TWO rank-by-merge sorts plus gathers (measured 311 ms at 10M
     int64 rows on a v5e, bench/breakdown_bench.py) -- with one explicit
     merge sort, forward run algebra (see `_one_to_one_merged`), and one
-    un-merge sort: ~3x less sort work for the same quantities.
+    un-merge sort: ~3x less sort work for the same quantities. Also the
+    match core of the hash join (hash-space key vectors).
     """
-    k1 = t1.masked_keys(key1)
-    k2 = t2.masked_keys(key2)
-    cap1, cap2 = t1.capacity, t2.capacity
+    cap1, cap2 = k1.shape[0], k2.shape[0]
     n = cap1 + cap2
     keys = jnp.concatenate([k1, k2])
     pos = jnp.arange(n, dtype=jnp.int32)
