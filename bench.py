@@ -66,7 +66,11 @@ def main():
     # Resolve narrow_keys="auto" exactly as QueryPipeline.run_csv would:
     # the reference generator's keys are <= 3N (generate_data.py:9), so the
     # default path takes the int32 merge-sort keys.
-    config = smj.EngineConfig().resolve_narrow(rows1[:, 0], rows2[:, 0])
+    config = (
+        smj.EngineConfig()
+        .resolve_narrow(rows1[:, 0], rows2[:, 0])
+        .resolve_narrow_data(rows1, rows2)
+    )
 
     dtype = config.jnp_dtype()
     t1 = Table.from_numpy(rows1, dtype=dtype)
@@ -105,6 +109,42 @@ def main():
     ]
     value = sorted(runs)[1]
 
+    # 10M-row companion figure (VERDICT r3 weak #4/#8): the 100k workload is
+    # ~0.5 ms of device time and its ABSOLUTE value swings with tunnel/
+    # session conditions even though the in-process protocol is tight; the
+    # 10M-row figure has 300x more signal per iteration and is stable to
+    # ~1% across sessions. Reported in the same JSON line so every driver
+    # round records both.
+    from pim_sort_merge_join_tpu.columnar.generate import generate_table
+
+    n10 = 10_000_000
+    r1b = generate_table(n10, seed=1)
+    r2b = generate_table(n10, seed=2)
+    thr = (3 * n10) // 20
+    cfg10 = (
+        smj.EngineConfig(
+            predicate1=smj.Predicate(0, ">", thr),
+            predicate2=smj.Predicate(0, ">", thr),
+        )
+        .resolve_narrow(r1b[:, 0], r2b[:, 0])
+        .resolve_narrow_data(r1b, r2b)
+    )
+    core10 = functools.partial(pipeline_core, config=cfg10)
+    t1b = Table.from_numpy(r1b, dtype=dtype)
+    t2b = Table.from_numpy(r2b, dtype=dtype)
+    del r1b, r2b
+    jax.block_until_ready((t1b.data, t2b.data))
+
+    def body10(carry, a, b):
+        ap = a.replace(num_rows=a.num_rows + opaque_zero(carry))
+        res = core10(ap, b)
+        return carry + res.num_rows + res.data[0, 0].astype(jnp.int32)
+
+    runs10 = [
+        time_chained_ms(body10, t1b, t2b, k1=1, k2=4, reps=3) for _ in range(3)
+    ]
+    value10 = sorted(runs10)[1]
+
     print(
         json.dumps(
             {
@@ -112,13 +152,16 @@ def main():
                 "value": round(value, 3),
                 "unit": "ms",
                 "vs_baseline": round(REF_TOTAL_MS / value, 1),
+                "pipeline_10m_ms": round(value10, 1),
+                "pipeline_10m_rows_per_s": round(2 * n10 / (value10 / 1e3)),
             }
         )
     )
     print(
         f"# device={jax.devices()[0]} joined_rows={expect_rows} "
         f"chained-slope timing (bench/timing.py) "
-        f"reference_total={REF_TOTAL_MS}ms",
+        f"reference_total={REF_TOTAL_MS}ms 10M-row figure: full "
+        f"materialization, median of 3 slopes",
         file=sys.stderr,
     )
 

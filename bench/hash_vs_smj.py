@@ -25,9 +25,26 @@ def main(argv=None):
     ap.add_argument("--outer", type=int, default=3)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--verify-rows", type=int, default=200_000)
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (used to run the correctness gate "
+        "quickly; remote TPU compiles make the 8-config gate minutes-slow)",
+    )
+    ap.add_argument(
+        "--skip-verify",
+        action="store_true",
+        help="skip the oracle gate (run it separately with --cpu "
+        "--verify-only first)",
+    )
+    ap.add_argument("--verify-only", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 1)
     import jax.numpy as jnp
     import numpy as np
 
@@ -63,7 +80,7 @@ def main(argv=None):
     vthr = (3 * vn) // 20
     import dataclasses
 
-    for dist in ("unique", "zipf"):
+    for dist in () if args.skip_verify else ("unique", "zipf"):
         hv1 = generate_table(vn, seed=11, key_distribution=dist)
         hv2 = generate_table(vn, seed=12, key_distribution=dist)
         tv1, tv2 = Table.from_numpy(hv1), Table.from_numpy(hv2)
@@ -100,6 +117,9 @@ def main(argv=None):
                 else:
                     np.testing.assert_array_equal(ga, want)
         print(json.dumps({"verified": dist, "rows": vn}), flush=True)
+
+    if args.verify_only:
+        return 0
 
     # --- timed A/B ---------------------------------------------------------
     for dist in ("unique", "zipf"):
