@@ -87,11 +87,41 @@ class StageCheckpointer:
         if write:
             self._store_manifest(manifest)
 
+    def _stages_view(self) -> list[str]:
+        """Process-0's view of completed stages, replicated to every process.
+
+        With non-shared (or cache-inconsistent, e.g. NFS) storage, each
+        process reading its own manifest.json could resolve resume
+        decisions differently and diverge the SPMD program (skip vs re-run
+        a collective exchange). Only process 0 writes the manifest, so its
+        view is authoritative; broadcast it. In multi-process runs this is
+        a COLLECTIVE -- every process must call has()/completed_stages()
+        at the same program point (the resumable runner already does).
+        """
+        local = list(self._load_manifest()["stages"].keys())
+        if jax.process_count() == 1:
+            return local
+        from jax.experimental import multihost_utils
+
+        payload = np.frombuffer(
+            json.dumps(local).encode("utf-8"), dtype=np.uint8
+        )
+        n = int(
+            multihost_utils.broadcast_one_to_all(
+                np.int32(payload.size)
+            )
+        )
+        buf = np.zeros(n, dtype=np.uint8)
+        if jax.process_index() == 0:
+            buf[:] = payload
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        return json.loads(buf.tobytes().decode("utf-8"))
+
     def has(self, stage: str) -> bool:
-        return stage in self._load_manifest()["stages"]
+        return stage in self._stages_view()
 
     def completed_stages(self) -> list[str]:
-        return list(self._load_manifest()["stages"].keys())
+        return self._stages_view()
 
     def load(self, stage: str) -> dict[str, Any]:
         """Load a stage's tables as host payloads: {name: (kind, arrays, names)}."""

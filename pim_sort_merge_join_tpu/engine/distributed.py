@@ -749,21 +749,46 @@ class DistributedQueryPipeline:
         """
         if self.config.checkpoint_dir is None:
             return self.run_tables(t1, t2)
+        import dataclasses
+
         p = self.mesh.shape[self.config.mesh_axis]
         ckpt = self._checkpointer()
         axis = self.config.mesh_axis
+        # Resolve narrow_keys/narrow_data="auto" to concrete bools exactly
+        # as run_tables does -- the string "auto" fails the `narrow is True`
+        # checks in ops/join.py and would silently disable the narrow-key /
+        # narrow-data paths on the resumable route (advisor r4, medium).
+        # The device probe is replicated-deterministic, so resumed runs
+        # resolve identically to the run that wrote the checkpoint.
+        need_probe = "auto" in (self.config.narrow_keys, self.config.narrow_data)
+        probed = self._resolve_narrow_device(t1, t2) if need_probe else (False, False)
+        narrow = (
+            self.config.narrow_keys
+            if self.config.narrow_keys != "auto"
+            else probed[0]
+        )
+        narrow_data = (
+            self.config.narrow_data
+            if self.config.narrow_data != "auto"
+            else probed[1]
+        )
+        self.resolved_narrow_keys = bool(narrow)
+        self.resolved_narrow_data = bool(narrow_data)
+        resolved_cfg = dataclasses.replace(
+            self.config, narrow_keys=bool(narrow), narrow_data=bool(narrow_data)
+        )
         if ckpt.has("exchanged"):
             s1 = ckpt.load_sharded("exchanged", "t1", self.mesh, axis)
             s2 = ckpt.load_sharded("exchanged", "t2", self.mesh, axis)
         else:
             shard_cap = max(t1.data.shape[0], t2.data.shape[0]) // p
             cap = -(-int(shard_cap * self.config.exchange_slack) // 128) * 128
-            key = ("exchange", cap)
+            key = ("exchange", cap, bool(narrow), bool(narrow_data))
             if key not in self._jitted:
                 self._jitted[key] = jax.jit(
                     functools.partial(
                         distributed_exchange_core,
-                        config=self.config,
+                        config=resolved_cfg,
                         mesh=self.mesh,
                         exchange_capacity=cap,
                     )
@@ -774,11 +799,11 @@ class DistributedQueryPipeline:
                 m.rows_out = int(jnp.sum(s1.counts)) + int(jnp.sum(s2.counts))
             self._check_exchange_overflow(diag, cap)
             ckpt.save("exchanged", t1=s1, t2=s2)
-        key = ("join", s1.data.shape, s2.data.shape)
+        key = ("join", s1.data.shape, s2.data.shape, bool(narrow), bool(narrow_data))
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 functools.partial(
-                    distributed_join_core, config=self.config, mesh=self.mesh
+                    distributed_join_core, config=resolved_cfg, mesh=self.mesh
                 )
             )
         with self.metrics.stage("join") as m:

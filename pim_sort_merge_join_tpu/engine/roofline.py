@@ -72,19 +72,28 @@ class TrafficModel:
         return self.total_bytes / (peak_gbps * 1e9) * 1e3
 
 
-def _sort_passes(n: int, itemsize: int, ncol: int, *, narrow: bool = False) -> int:
-    """1 run-formation pass + ceil(log2(n / C)) merge passes."""
+def _sort_passes(
+    n: int,
+    itemsize: int,
+    ncol: int,
+    *,
+    narrow: bool = False,
+    unique_keys: bool = True,
+) -> int:
+    """1 run-formation pass + ceil(log2(n / C)) merge passes.
+
+    planes: key decomposes to itemsize/4 planes + payload planes; narrow
+    keys sort as a single int32 plane regardless of table dtype. Since
+    round 4 the join's internal sorts run unique_keys=True and carry no
+    synthetic tie-break plane (the pipeline model's default); table sorts
+    through ``sort_by_key`` still pay one extra int32 tie-break plane --
+    model those with ``unique_keys=False`` (advisor r4).
+    """
     from pim_sort_merge_join_tpu.ops.pallas.hbm_sort import choose_sizes
 
-    # planes: key decomposes to itemsize/4 planes + payload planes; narrow
-    # keys sort as a single int32 plane regardless of table dtype. Since
-    # round 4 the join's internal sorts run unique_keys=True and carry no
-    # synthetic tie-break plane; the model drops it accordingly (table
-    # sorts through sort_by_key still pay it, but the roofline is a lower
-    # bound and takes the cheaper structure).
     key_planes = 1 if narrow else max(itemsize // 4, 1)
     payload_planes = (ncol - 1) * max(itemsize // 4, 1)
-    nplanes = key_planes + payload_planes
+    nplanes = key_planes + payload_planes + (0 if unique_keys else 1)
     chunk, _ = choose_sizes(nplanes)
     return 1 + max(math.ceil(math.log2(max(n, 1) / chunk)), 0)
 

@@ -137,6 +137,19 @@ def hash_join(
         # streaming (table-1 row) order.
         h1 = _hashed_keys(t1, key1)
         h2 = _hashed_keys(t2, key2)
+        # The row-restore index rides as a table-dtype column; for inexact
+        # dtypes it must stay exactly representable (float32 mantissa holds
+        # integers only up to 2**24) or the restore sort silently scrambles
+        # row order (advisor r4). int64/float64 are always safe here.
+        if jnp.issubdtype(t1.dtype, jnp.inexact):
+            mant = jnp.finfo(t1.dtype).nmant + 1
+            if cap1 > (1 << mant):
+                raise ValueError(
+                    f"hash_join one_to_one: capacity {cap1} exceeds the "
+                    f"exact-integer range 2**{mant} of table dtype "
+                    f"{jnp.dtype(t1.dtype).name}; use a wider dtype or "
+                    "join_algorithm='sort_merge'"
+                )
         iota1 = jnp.arange(cap1, dtype=jnp.int32)
         t1aug = t1.replace(
             data=jnp.concatenate(

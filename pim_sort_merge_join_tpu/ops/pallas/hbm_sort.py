@@ -763,7 +763,10 @@ def hbm_sort_adaptive(
     lo = jnp.min(jnp.where(is_valid, key, sent))
     hi = jnp.max(jnp.where(is_valid, key, jnp.iinfo(key.dtype).min))
     # Span in uint64: exact for any signed pair with hi >= lo. An all-
-    # sentinel input gives hi < lo, wrapping the span huge -> wide branch.
+    # sentinel input gives hi < lo, wrapping the uint64 span to ~1, so
+    # `fits` is True and the NARROW branch runs -- which is still correct:
+    # every key equals the sentinel and is remapped to int32 max inside the
+    # branch, so the (trivially sorted) result round-trips exactly.
     span = hi.astype(jnp.uint64) - lo.astype(jnp.uint64)
     fits = span <= jnp.uint64(np.iinfo(np.int32).max - 1)
 
