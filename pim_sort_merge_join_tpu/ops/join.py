@@ -164,6 +164,12 @@ def _narrow32(k: jax.Array) -> jax.Array:
 # (ops/pallas/join_scan.py) replaces ~7 HBM scan passes with two.
 JOIN_SCAN_PALLAS_MIN = 1 << 21
 
+# narrow_data only pays where the emit sorts dispatch to the Pallas backend
+# (>= 2^24 operands); below that the XLA path measured the int64->int32
+# cast as neutral-to-negative (artifacts/ndata_ab_r04.json). Module-level
+# so tests can lower it to exercise the casting path at small sizes.
+NARROW_DATA_PALLAS_MIN: int = 1 << 24
+
 
 def _merged_dest_xla(mkeys, mpos, cap1: int):
     """Output slot per merged element, as XLA scan ops (any backend).
@@ -212,22 +218,28 @@ def _merged_dest_xla(mkeys, mpos, cap1: int):
     return dest, num_out
 
 
+# Round-5 gate: the two-plane (int64) join-scan variant previously tripped
+# a TPU-runtime InvalidArgument when embedded in the pipeline's fori_loop
+# (rounds 3-4 pinned the dispatch to <= 32-bit keys). The committed repro
+# driver (bench/joinscan_wide_repro.py) now passes all three embedding
+# stages on this toolchain (artifacts/joinscan_wide_r05.json), so the wide
+# dispatch is enabled again; this switch exists so the in-pipeline A/B
+# (bench/joinscan_wide_ab.py) can measure kernel-vs-XLA on the wide path.
+JOIN_SCAN_WIDE_OK = True
+
+
 def _merged_dest(mkeys, mpos, cap1: int):
     """Dispatch the merged-domain slot computation: Pallas kernel on TPU at
     scale (two streaming passes), XLA scans otherwise."""
     n = mkeys.shape[0]
-    # Single-plane (<= 32-bit) integer keys only: the two-plane (int64)
-    # variant is unit-verified standalone at 20M on the chip
-    # (tests/test_join_scan.py pins it in interpret mode), but embedding it
-    # inside the pipeline's fori_loop trips a TPU-runtime InvalidArgument
-    # on this toolchain -- the wide path keeps the XLA scan block until
-    # that is chased down. The narrow path (the resolved default for
-    # reference-distribution keys) is the one that matters.
+    itemsize_ok = jnp.dtype(mkeys.dtype).itemsize <= (
+        8 if JOIN_SCAN_WIDE_OK else 4
+    )
     kernel_ok = (
         jax.default_backend() not in ("cpu", "gpu")
         and n >= JOIN_SCAN_PALLAS_MIN
         and jnp.issubdtype(mkeys.dtype, jnp.integer)
-        and jnp.dtype(mkeys.dtype).itemsize <= 4
+        and itemsize_ok
     )
     if kernel_ok:
         from pim_sort_merge_join_tpu.ops.pallas.join_scan import join_scan_dest
@@ -322,11 +334,21 @@ def _one_to_one_merged(
     #
     # narrow_data (driver-resolved; every table VALUE fits int32, validated
     # at ingest / probed on device): payload planes ride the emit sorts as
-    # int32. Measured neutral for the XLA backend at 10M (int64 payloads
-    # move as two fused int32 words anyway) but halves payload planes for
-    # the Pallas backend at >= 2^24 rows.
+    # int32 -- but only once the emit sort is large enough to dispatch to
+    # the Pallas backend, where halving the payload planes pays. Below that
+    # crossover the sorts run on XLA, where narrowing measured
+    # neutral-to-NEGATIVE at 10M (int64 payloads move as two fused int32
+    # words; the extra cast plane costs 46.3 vs 22.6 ms --
+    # artifacts/ndata_ab_r04.json, sort_variants_r04.json; VERDICT r4 weak
+    # #8), so the cast is skipped there even when narrow_data=True.
     def _plane(col: jax.Array) -> jax.Array:
-        if narrow_data is True and jnp.issubdtype(col.dtype, jnp.integer) and col.dtype.itemsize == 8:
+        in_pallas_regime = col.shape[0] >= NARROW_DATA_PALLAS_MIN
+        if (
+            narrow_data is True
+            and in_pallas_regime
+            and jnp.issubdtype(col.dtype, jnp.integer)
+            and col.dtype.itemsize == 8
+        ):
             return col.astype(jnp.int32)
         return col
 

@@ -232,6 +232,34 @@ def test_narrow_data_negative_payloads(rng, tmp_path):
     np.testing.assert_array_equal(nd, wide)
 
 
+def test_narrow_data_cast_path_below_regime_gate(rng, tmp_path, monkeypatch):
+    # Round 5: the int64->int32 payload cast only engages at
+    # NARROW_DATA_PALLAS_MIN (the Pallas emit-sort regime, where halved
+    # planes pay; below it the cast measured neutral-to-negative on XLA).
+    # Lower the gate to 0 so the casting path itself stays exercised at
+    # test sizes, and pin that outputs still match the wide path.
+    from pim_sort_merge_join_tpu.ops import join as join_ops
+
+    monkeypatch.setattr(join_ops, "NARROW_DATA_PALLAS_MIN", 0)
+    n = 300
+    keys1 = rng.integers(0, 200, size=n)
+    keys2 = rng.integers(0, 200, size=n)
+    pay = lambda: rng.integers(-(2**31), 2**31 - 2, (n, 3))
+    r1 = np.column_stack([keys1, pay()]).astype(np.int64)
+    r2 = np.column_stack([keys2, pay()]).astype(np.int64)
+    cfg_w = _cfg(
+        predicate1=Predicate(0, ">", -1), predicate2=Predicate(0, ">", -1),
+        narrow_data=False,
+    )
+    cfg_n = _cfg(
+        predicate1=Predicate(0, ">", -1), predicate2=Predicate(0, ">", -1),
+        narrow_data=True,
+    )
+    wide = _pipe_out(cfg_w, r1, r2, tmp_path, "rgw")
+    nd = _pipe_out(cfg_n, r1, r2, tmp_path, "rgn")
+    np.testing.assert_array_equal(nd, wide)
+
+
 def test_narrow_data_auto_resolution(rng, tmp_path):
     # Narrow keys but a wide PAYLOAD value: narrow_keys resolves True while
     # narrow_data resolves False, and output still matches the oracle.
