@@ -758,10 +758,26 @@ class DistributedQueryPipeline:
         # as run_tables does -- the string "auto" fails the `narrow is True`
         # checks in ops/join.py and would silently disable the narrow-key /
         # narrow-data paths on the resumable route (advisor r4, medium).
-        # The device probe is replicated-deterministic, so resumed runs
-        # resolve identically to the run that wrote the checkpoint.
+        # On RESUME the probe must read the restored checkpoint state, not
+        # the caller's inputs (which the resume contract allows to be
+        # arbitrary same-shape placeholders): probing placeholders could
+        # resolve narrow=True over a wide-keyed checkpoint. Probing the
+        # exchanged buffers is conservative-correct -- their padding
+        # sentinels can only push the range WIDER, never let out-of-range
+        # keys slip into the narrow path.
+        resumed = ckpt.has("exchanged")
+        if resumed:
+            s1 = ckpt.load_sharded("exchanged", "t1", self.mesh, axis)
+            s2 = ckpt.load_sharded("exchanged", "t2", self.mesh, axis)
+            probe_src = (s1, s2)
+        else:
+            probe_src = (t1, t2)
         need_probe = "auto" in (self.config.narrow_keys, self.config.narrow_data)
-        probed = self._resolve_narrow_device(t1, t2) if need_probe else (False, False)
+        probed = (
+            self._resolve_narrow_device(*probe_src)
+            if need_probe
+            else (False, False)
+        )
         narrow = (
             self.config.narrow_keys
             if self.config.narrow_keys != "auto"
@@ -777,10 +793,7 @@ class DistributedQueryPipeline:
         resolved_cfg = dataclasses.replace(
             self.config, narrow_keys=bool(narrow), narrow_data=bool(narrow_data)
         )
-        if ckpt.has("exchanged"):
-            s1 = ckpt.load_sharded("exchanged", "t1", self.mesh, axis)
-            s2 = ckpt.load_sharded("exchanged", "t2", self.mesh, axis)
-        else:
+        if not resumed:
             shard_cap = max(t1.data.shape[0], t2.data.shape[0]) // p
             cap = -(-int(shard_cap * self.config.exchange_slack) // 128) * 128
             key = ("exchange", cap, bool(narrow), bool(narrow_data))

@@ -319,6 +319,77 @@ def test_distributed_resumable_matches_and_resumes(rng, tmp_path):
     np.testing.assert_array_equal(out2, want)
 
 
+def test_resumable_resolves_narrow_auto(rng, tmp_path):
+    """Advisor r4 (medium): the resumable route must resolve
+    narrow_keys/narrow_data='auto' to concrete bools exactly like
+    run_tables -- previously the string 'auto' reached ops/join.py and
+    silently disabled the narrow paths."""
+    from tests.conftest import make_reference_like_tables
+
+    r1, r2 = make_reference_like_tables(rng, 600)
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", 300),
+        predicate2=Predicate(0, ">", 300),
+        splitter_sample=128,
+        checkpoint_dir=str(tmp_path),
+    )
+    assert cfg.narrow_keys == "auto" and cfg.narrow_data == "auto"
+    mesh = mesh8()
+    pipe = DistributedQueryPipeline(cfg, mesh)
+    out = pipe.run_tables_resumable(
+        ShardedTable.from_numpy(r1, mesh, "p"),
+        ShardedTable.from_numpy(r2, mesh, "p"),
+    ).to_numpy()
+    # Reference-like keys/values all fit int32 -> both resolve True.
+    assert pipe.resolved_narrow_keys is True
+    assert pipe.resolved_narrow_data is True
+    want = oracle.pipeline_oracle(
+        r1, r2, pred1=(0, ">", 300), pred2=(0, ">", 300)
+    )
+    np.testing.assert_array_equal(out, want)
+
+
+def test_resumable_resume_probes_checkpoint_not_inputs(rng, tmp_path):
+    """On resume the narrow probe must read the restored exchanged state:
+    a wide-keyed checkpoint resumed with in-int32-range placeholder inputs
+    must NOT resolve narrow (that would feed 64-bit keys to the int32
+    join)."""
+    n = 512
+    keys1 = rng.permutation(np.arange(1, n + 1)).astype(np.int64)
+    keys2 = rng.permutation(np.arange(1, n + 1)).astype(np.int64)
+    # Push half the keys beyond int32 on both sides (same offset keeps
+    # matches aligned).
+    big = np.int64(1) << 40
+    keys1[keys1 % 2 == 0] += big
+    keys2[keys2 % 2 == 0] += big
+    pay = lambda: rng.integers(1, 100, (n, 3))
+    r1 = np.column_stack([keys1, pay()]).astype(np.int64)
+    r2 = np.column_stack([keys2, pay()]).astype(np.int64)
+    cfg = EngineConfig(
+        predicate1=Predicate(0, ">", 0),
+        predicate2=Predicate(0, ">", 0),
+        splitter_sample=128,
+        checkpoint_dir=str(tmp_path),
+    )
+    mesh = mesh8()
+    pipe = DistributedQueryPipeline(cfg, mesh)
+    out1 = pipe.run_tables_resumable(
+        ShardedTable.from_numpy(r1, mesh, "p"),
+        ShardedTable.from_numpy(r2, mesh, "p"),
+    ).to_numpy()
+    assert pipe.resolved_narrow_keys is False
+    want = oracle.pipeline_oracle(r1, r2, pred1=(0, ">", 0), pred2=(0, ">", 0))
+    np.testing.assert_array_equal(out1, want)
+
+    # Resume with all-zero placeholders (which WOULD probe narrow): the
+    # checkpointed wide keys must keep the join wide and the output exact.
+    garbage = ShardedTable.from_numpy(np.zeros_like(r1), mesh, "p")
+    pipe2 = DistributedQueryPipeline(cfg, mesh)
+    out2 = pipe2.run_tables_resumable(garbage, garbage).to_numpy()
+    assert pipe2.resolved_narrow_keys is False
+    np.testing.assert_array_equal(out2, want)
+
+
 def test_distributed_resume_rejects_mesh_size_change(rng, tmp_path):
     from jax.sharding import Mesh
 
