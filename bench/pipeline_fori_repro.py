@@ -99,6 +99,17 @@ def main(argv=None):
         # Bisect: default slack.
         core20 = functools.partial(pipeline_core, config=cfg(2.0))
         stage("fori_k1_slack2", chained(core20, 1))
+    # Repeated-invocation probe: hash_vs_smj dies inside _timed_call's
+    # warm+reps loop on this config while single calls pass -- run the
+    # SAME compiled chain several times back to back.
+    f1 = chained(core15, 1)
+    f3 = chained(core15, 3)
+    for i in range(4):
+        if not stage(f"fori_k1_repeat{i}", f1):
+            break
+    for i in range(4):
+        if not stage(f"fori_k3_repeat{i}", f3):
+            break
     return 0
 
 

@@ -218,14 +218,21 @@ def _merged_dest_xla(mkeys, mpos, cap1: int):
     return dest, num_out
 
 
-# Round-5 gate: the two-plane (int64) join-scan variant previously tripped
-# a TPU-runtime InvalidArgument when embedded in the pipeline's fori_loop
-# (rounds 3-4 pinned the dispatch to <= 32-bit keys). The committed repro
-# driver (bench/joinscan_wide_repro.py) now passes all three embedding
-# stages on this toolchain (artifacts/joinscan_wide_r05.json), so the wide
-# dispatch is enabled again; this switch exists so the in-pipeline A/B
-# (bench/joinscan_wide_ab.py) can measure kernel-vs-XLA on the wide path.
-JOIN_SCAN_WIDE_OK = True
+# Wide (two-plane, 64-bit-key) join-scan dispatch switch. History: rounds
+# 3-4 pinned the dispatch to <= 32-bit keys after a TPU-runtime
+# InvalidArgument inside the pipeline's fori_loop. Round 5 re-tested: the
+# committed repro (bench/joinscan_wide_repro.py) passes all three
+# embedding stages at 4M int64 on the current toolchain
+# (artifacts/joinscan_wide_r05.json) -- but enabling the dispatch made the
+# hash-join pipeline (17M-element uint64 HASHED keys through the same
+# _merged_dest) die with the same deferred InvalidArgument at 10M
+# rows/table, twice, while every narrow-path embedding passes
+# (artifacts/pipeline_fori_repeat_r05.json). The kernel is therefore
+# still unreliable at scale on wide keys on this toolchain; the dispatch
+# stays pinned narrow. The resolved default path (narrow int32 keys) is
+# unaffected. Flip at your own risk / for the A/B driver
+# (bench/joinscan_wide_ab.py).
+JOIN_SCAN_WIDE_OK = False
 
 
 def _merged_dest(mkeys, mpos, cap1: int):
