@@ -63,8 +63,19 @@ def _pow2_floor(x: int) -> int:
 
 
 def choose_sizes(num_planes: int) -> tuple[int, int]:
-    """(chunk C, tile T) in elements for a given plane count."""
-    c = _pow2_floor(max(_VMEM_BUDGET // (24 * num_planes), 2 * _LANES))
+    """(chunk C, tile T) in elements for a given plane count.
+
+    Divisors measured, not asserted: the round-5 chunk/tile sweep
+    (bench/sort_tune.py, artifacts/sort_tune_r05.json; the CACHE_SIZE-sweep
+    analog of the reference report's table 2) gridded {C/4..2C} x {T/4..2T}
+    at 20M 2-plane elements. Optimum: chunk 262144 = 2x the former
+    24-divisor value at tile 65536 (48.1 vs 50.2 ms); every smaller tile
+    lost monotonically, larger tiles were flat. Chunk divisor 12 puts the
+    auto point on the measured optimum (working set ~12.6 MB, fits VMEM
+    at every plane count since the byte budget scales with 1/planes);
+    tile divisor 40 already sat on it.
+    """
+    c = _pow2_floor(max(_VMEM_BUDGET // (12 * num_planes), 2 * _LANES))
     t = _pow2_floor(max(_VMEM_BUDGET // (40 * num_planes), 2 * _LANES))
     t = min(t, c)
     return c, t

@@ -231,8 +231,11 @@ def test_choose_sizes_vmem_bounded():
         c, t = choose_sizes(planes)
         assert t <= c
         assert c >= 256 and t >= 256
-        # chunk kernel working set stays within the ~16 MB/core VMEM.
-        assert 24 * planes * c <= 16 * 1024 * 1024
+        # chunk kernel working set stays within the ~16 MB/core VMEM. The
+        # 12-byte/element/plane budget is measured, not assumed: the r5
+        # chunk sweep ran 2x the former 24-byte-budget chunk on-chip and
+        # it both fit and won (artifacts/sort_tune_r05.json).
+        assert 12 * planes * c <= 16 * 1024 * 1024
 
 
 def test_unique_keys_skips_synthetic_plane(rng):
