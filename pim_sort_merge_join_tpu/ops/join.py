@@ -227,11 +227,14 @@ def _merged_dest_xla(mkeys, mpos, cap1: int):
 # hash-join pipeline (17M-element uint64 HASHED keys through the same
 # _merged_dest) die with the same deferred InvalidArgument at 10M
 # rows/table, twice, while every narrow-path embedding passes
-# (artifacts/pipeline_fori_repeat_r05.json). The kernel is therefore
-# still unreliable at scale on wide keys on this toolchain; the dispatch
-# stays pinned narrow. The resolved default path (narrow int32 keys) is
-# unaffected. Flip at your own risk / for the A/B driver
-# (bench/joinscan_wide_ab.py).
+# (artifacts/pipeline_fori_repeat_r05.json). Isolated wide embeddings all
+# pass -- int64 at 4M and 32M, and full-range uint64 with sentinels in
+# fori at 16M (artifacts/joinscan_u64_r05.json) -- so the trigger is the
+# full hash-pipeline COMPOSITION around the kernel, not size or dtype: a
+# toolchain defect we cannot reduce further from this side of the opaque
+# remote-compile transport. The dispatch stays pinned narrow; the
+# resolved default path (narrow int32 keys) is unaffected. Flip at your
+# own risk / for the A/B driver (bench/joinscan_wide_ab.py).
 JOIN_SCAN_WIDE_OK = False
 
 
