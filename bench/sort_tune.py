@@ -3,9 +3,11 @@
 The reference's report sweeps CACHE_SIZE {64..1024} and NR_TASKLETS {10..16}
 (BASELINE.md tables 2-3; knob at common.h:11). The engine's analogous knobs
 are hbm_sort's VMEM chunk (phase-A bitonic size, sets the merge-pass count
-log2(n/C)) and merge tile T (phase-B VMEM window). choose_sizes() asserts
-C = VMEM/(24*planes), T = VMEM/(40*planes); this sweep measures the actual
-optimum at pipeline shapes (VERDICT r3 missing #4).
+log2(n/C)) and merge tile T (phase-B VMEM window). choose_sizes() used
+C = VMEM/(24*planes), T = VMEM/(40*planes) until this sweep ran; the
+measured optimum (artifacts/sort_tune_r05.json: chunk at 2x the 24-divisor
+value, tile on the 40-divisor point) moved the chunk divisor to 12
+(VERDICT r3 missing #4, resolved round 5).
 
 Run: python -m bench.sort_tune [n] -- times the 2-plane unique-keys sort
 (the join's step-1/2 shape after the round-4 tie-break-plane removal).
